@@ -1,0 +1,112 @@
+"""Canonical configuration for the AGILE3D-TPU framework.
+
+The reference duplicates an identical argparse flag set across four entry
+points (main.py:24-84, eval_multi_obj.py:28-72, eval_single_obj.py:28-75,
+run_UI.py:21-56). Here the model/loss/training hyper-parameters live in one
+typed config consumed by every entry point; CLIs construct one of these.
+
+Reference values: /root/reference/main.py:36-80.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class BackboneConfig:
+    """Res16UNet34C (reference models/res16unet.py:371-372, models/backbone.py:5-7)."""
+
+    in_channels: int = 3
+    init_dim: int = 32
+    planes: Sequence[int] = (32, 64, 128, 256, 256, 128, 96, 96)
+    layers: Sequence[int] = (2, 3, 4, 6, 2, 2, 2, 2)
+    conv1_kernel_size: int = 5          # main.py:37
+    bn_momentum: float = 0.02           # main.py:38
+    dilations: Sequence[int] = (1, 1, 1, 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Click-as-query decoder (reference models/agile3d.py:399-421, main.py:42-53)."""
+
+    hidden_dim: int = 128
+    dim_feedforward: int = 1024
+    num_heads: int = 8
+    num_decoders: int = 3
+    num_bg_queries: int = 10
+    dropout: float = 0.0
+    pre_norm: bool = False
+    normalize_pos_enc: bool = True
+    positional_encoding_type: str = "fourier"
+    gauss_scale: float = 1.0
+    hlevels: Sequence[int] = (4,)
+    shared_decoder: bool = False
+    aux: bool = True
+    voxel_size: float = 0.05            # main.py:39
+    backbone: BackboneConfig = dataclasses.field(default_factory=BackboneConfig)
+
+    # --- TPU static-shape policy (no reference analogue; replaces ragged dims) ---
+    max_fg_objects: int = 10            # engine.py:65 caps sampled objects at 10
+    max_clicks: int = 256               # >= 21 * max_fg_objects eval click budget
+    time_table_len: int = 256           # >= max_clicks (reference table is 200,
+                                        # position_embedding.py:210; sized up so the
+                                        # padded click budget can never index OOB)
+
+    @property
+    def max_queries(self) -> int:
+        return self.num_bg_queries + self.max_clicks
+
+
+@dataclasses.dataclass(frozen=True)
+class LossConfig:
+    """main.py:56-59, criterion.py:135-150; click weights utils/seg.py:72."""
+
+    losses: Sequence[str] = ("bce", "dice")
+    bce_loss_coef: float = 1.0
+    dice_loss_coef: float = 2.0
+    aux: bool = True
+    w_alpha: float = 0.8
+    w_beta: float = 2.0
+    w_tita: float = 0.3
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """main.py:62-80."""
+
+    lr: float = 1e-4
+    weight_decay: float = 1e-4
+    lr_drop: Sequence[int] = (1000,)
+    lr_drop_gamma: float = 0.1
+    epochs: int = 1100
+    val_epochs: int = 50
+    batch_size: int = 5
+    val_batch_size: int = 1
+    clip_max_norm: float = 0.1
+    seed: int = 42
+    max_num_clicks: int = 20            # per-object eval click budget
+    num_workers: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    loss: LossConfig = dataclasses.field(default_factory=LossConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+
+
+# Voxel-count buckets: scenes are padded up to the nearest bucket so jit
+# compiles once per bucket instead of once per scene (SURVEY.md section 7).
+DEFAULT_VOXEL_BUCKETS = (
+    2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144, 524288,
+)
+
+
+def bucket_size(n: int, buckets: Sequence[int] = DEFAULT_VOXEL_BUCKETS) -> int:
+    """Smallest bucket >= n (last bucket if n exceeds all)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]

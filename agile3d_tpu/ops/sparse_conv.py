@@ -1,0 +1,124 @@
+"""Sparse convolution ops as gather-GEMM over precomputed kernel maps.
+
+TPU-native replacements for ME.MinkowskiConvolution /
+MinkowskiConvolutionTranspose / MinkowskiAvgPooling (reference
+models/modules/common.py:125-216). Each op is a pure function over
+(features, kernel map, weights); the kernel maps come from
+sparse/kernel_maps.py and have static (bucketed) shapes, so everything
+compiles once per bucket under jit.
+
+Zero-padding invariant: feature arrays carry zero rows beyond the valid
+count; every op that could break that (bias add, normalization) re-masks.
+The per-offset matmuls are [N, C_in] @ [C_in, C_out] with N in the tens of
+thousands to hundreds of thousands — MXU-shaped work; XLA fuses the gathers
+and accumulations around them.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def masked_gather(x: jax.Array, idx: jax.Array) -> jax.Array:
+    """Gather rows of x [N, C] at idx [M] where idx == -1 yields zeros."""
+    safe = jnp.clip(idx, 0, x.shape[0] - 1)
+    return jnp.where((idx >= 0)[:, None], x[safe], 0)
+
+
+def sparse_conv(x: jax.Array, nbr: jax.Array, w: jax.Array,
+                bias: jax.Array | None = None,
+                valid: jax.Array | None = None) -> jax.Array:
+    """Generalized sparse conv: out[m] = sum_k x[nbr[m, k]] @ w[k] (+ bias).
+
+    Covers stride-1 kernel-3/5 convs (nbr = level.k3/k5, M == N) and the
+    stride-2 kernel-2 down convs (nbr = level.down, M == N_coarse).
+
+    Args:
+      x:    [N, C_in] input features (zero pad rows).
+      nbr:  [M, K] int32 gather map, -1 = absent neighbor.
+      w:    [K, C_in, C_out] kernel (ME kernel layout).
+      bias: optional [C_out].
+      valid: optional [M] bool output-row mask (required if bias is not None
+        to preserve the zero-padding invariant).
+    """
+    k = w.shape[0]
+    out_dtype = jnp.promote_types(x.dtype, w.dtype)
+    acc = jnp.zeros((nbr.shape[0], w.shape[2]), dtype=out_dtype)
+    for j in range(k):
+        g = masked_gather(x, nbr[:, j])
+        acc = acc + jnp.dot(g, w[j], preferred_element_type=out_dtype)
+    if bias is not None:
+        assert valid is not None, "bias add requires a validity mask"
+        acc = acc + bias[None, :]
+    if valid is not None:
+        acc = jnp.where(valid[:, None], acc, 0)
+    return acc
+
+
+def sparse_conv_transpose(x_coarse: jax.Array, up_parent: jax.Array,
+                          up_offset: jax.Array, w: jax.Array) -> jax.Array:
+    """Kernel-2 stride-2 generative transposed conv back onto the finer map.
+
+    Each fine voxel receives exactly one coarse contributor (its parent)
+    through kernel element up_offset (see sparse/kernel_maps.py): the coarse
+    map was produced by striding the fine map, so parents always exist and
+    down/up coordinate sets mirror exactly (reference res16unet.py:253-287
+    relies on the same property via ME's coordinate manager).
+
+    Args:
+      x_coarse: [N_coarse, C_in].
+      up_parent: [N_fine] int32 rows into x_coarse (-1 on pad rows).
+      up_offset: [N_fine] int32 kernel element in [0, 8).
+      w: [8, C_in, C_out].
+    """
+    out_dtype = jnp.promote_types(x_coarse.dtype, w.dtype)
+    g = masked_gather(x_coarse, up_parent)          # [N_fine, C_in]
+    # One matmul per kernel element on the full row set, select per voxel.
+    # 8 GEMMs of [N_fine, C_in] @ [C_in, C_out]; XLA keeps them on the MXU.
+    acc = jnp.zeros((g.shape[0], w.shape[2]), dtype=out_dtype)
+    for k in range(w.shape[0]):
+        y = jnp.dot(g, w[k], preferred_element_type=out_dtype)
+        acc = acc + jnp.where((up_offset == k)[:, None], y, 0)
+    # pad rows: up_parent == -1 -> g == 0 -> acc row 0 already.
+    return acc
+
+
+def linear(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
+           valid: jax.Array | None = None) -> jax.Array:
+    """1x1 sparse conv == per-row linear (ME kernel_size=1)."""
+    y = jnp.dot(x, w, preferred_element_type=jnp.promote_types(x.dtype, w.dtype))
+    if bias is not None:
+        assert valid is not None, "bias add requires a validity mask"
+        y = y + bias[None, :]
+    if valid is not None:
+        y = jnp.where(valid[:, None], y, 0)
+    return y
+
+
+def avg_pool_down(x: jax.Array, down: jax.Array) -> jax.Array:
+    """Kernel-2 stride-2 average pooling (ME MinkowskiAvgPooling, used to
+    pool raw xyz coordinates down the pyramid — reference models/agile3d.py:71,
+    171-175). Mean over present children."""
+    total = jnp.zeros((down.shape[0], x.shape[1]), dtype=x.dtype)
+    count = jnp.zeros((down.shape[0],), dtype=x.dtype)
+    for k in range(down.shape[1]):
+        idx = down[:, k]
+        total = total + masked_gather(x, idx)
+        count = count + (idx >= 0).astype(x.dtype)
+    return total / jnp.maximum(count, 1)[:, None]
+
+
+def sum_pool_down(x: jax.Array, down: jax.Array) -> jax.Array:
+    """Kernel-2 stride-2 sum pooling (ME MinkowskiSumPooling,
+    reference models/modules/common.py:240-258)."""
+    total = jnp.zeros((down.shape[0], x.shape[1]), dtype=x.dtype)
+    for k in range(down.shape[1]):
+        total = total + masked_gather(x, down[:, k])
+    return total
+
+
+def avg_unpool_up(x_coarse: jax.Array, up_parent: jax.Array) -> jax.Array:
+    """Kernel-2 stride-2 average unpooling (ME MinkowskiAvgUnpooling,
+    reference models/modules/common.py:219-237): copy parent value down."""
+    return masked_gather(x_coarse, up_parent)

@@ -1,0 +1,73 @@
+"""Padded, device-ready pyramid — the static-shape `SparseGrid` pytree that
+replaces ME's stateful CoordinateManager (SURVEY.md section 7 architecture
+stance). Scenes are padded to size buckets so XLA compiles once per bucket.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Sequence
+
+import numpy as np
+
+from agile3d_tpu.config import DEFAULT_VOXEL_BUCKETS, bucket_size
+from agile3d_tpu.sparse.kernel_maps import Pyramid
+
+
+class PaddedLevel(NamedTuple):
+    """One pyramid level, padded to a bucket. All maps use -1 for absent/pad;
+    gathers go through ops.sparse_conv.masked_gather which zero-fills."""
+
+    grid: np.ndarray          # int32 [Np, 3]
+    batch: np.ndarray         # int32 [Np] (pad rows = -1)
+    valid: np.ndarray         # bool  [Np]
+    k3: np.ndarray            # int32 [Np, 27]
+    k5: np.ndarray | None     # int32 [Np, 125] | None
+    down: np.ndarray | None   # int32 [Np_next, 8] (rows into THIS level)
+    up_parent: np.ndarray | None  # int32 [Np] (rows into next level)
+    up_offset: np.ndarray | None  # int32 [Np]
+    num_valid: int            # python int: true voxel count (static per bucket)
+
+
+class PaddedPyramid(NamedTuple):
+    levels: tuple  # tuple[PaddedLevel, ...], finest first
+
+
+def _pad_rows(a: np.ndarray | None, n: int, fill) -> np.ndarray | None:
+    if a is None:
+        return None
+    pad = n - a.shape[0]
+    if pad < 0:
+        raise ValueError(f"bucket {n} smaller than array {a.shape[0]}")
+    widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+    return np.pad(a, widths, constant_values=fill)
+
+
+def pad_pyramid(
+    pyr: Pyramid, buckets: Sequence[int] = DEFAULT_VOXEL_BUCKETS
+) -> PaddedPyramid:
+    sizes = [bucket_size(l.num_voxels, buckets) for l in pyr.levels]
+    out = []
+    for i, lvl in enumerate(pyr.levels):
+        n = sizes[i]
+        n_next = sizes[i + 1] if i + 1 < len(sizes) else None
+        valid = np.zeros(n, dtype=bool)
+        valid[: lvl.num_voxels] = True
+        out.append(
+            PaddedLevel(
+                grid=_pad_rows(lvl.grid, n, 0),
+                batch=_pad_rows(lvl.batch, n, -1),
+                valid=valid,
+                k3=_pad_rows(lvl.k3, n, -1),
+                k5=_pad_rows(lvl.k5, n, -1),
+                down=_pad_rows(lvl.down, n_next, -1) if lvl.down is not None else None,
+                up_parent=_pad_rows(lvl.up_parent, n, -1),
+                up_offset=_pad_rows(lvl.up_offset, n, 0),
+                num_valid=lvl.num_voxels,
+            )
+        )
+    return PaddedPyramid(levels=tuple(out))
+
+
+def pad_features(feats: np.ndarray, n: int) -> np.ndarray:
+    """Pad per-voxel features [N, C] with zero rows to [n, C]."""
+    return _pad_rows(np.asarray(feats), n, 0)

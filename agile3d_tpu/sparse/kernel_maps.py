@@ -1,0 +1,177 @@
+"""Kernel-map builder: the TPU replacement for MinkowskiEngine's
+CoordinateManager (reference models/modules/common.py:125-188, engine.py:47).
+
+MinkowskiEngine builds GPU hash maps from (batch,x,y,z) to row index and
+derives per-kernel-offset (input_row, output_row) pairs on the fly. On TPU the
+equivalent is precomputed *gather maps* with static shapes:
+
+  * ``k3``  [N_l, 27]  — for each voxel, the row of the neighbor at each of the
+    3x3x3 offsets (or -1 if absent). A stride-1 kernel-3 sparse conv is then a
+    loop of 27 gathers + GEMMs (ops/sparse_conv.py).
+  * ``k5``  [N_0, 125] — same for the 5x5x5 stem conv (res16unet stem,
+    reference main.py:37 conv1_kernel_size=5), finest level only.
+  * ``down`` [N_{l+1}, 8] — kernel-2 stride-2 conv: coarse voxel j gathers the
+    fine voxels at 2*g_j + {0,1}^3 (ME even-kernel offsets are [0, k)).
+  * ``up_parent`` [N_l], ``up_offset`` [N_l] — kernel-2 stride-2 transposed
+    conv (reference models/modules/common.py:158-188): each fine voxel has
+    exactly one coarse contributor, its parent floor(g/2), through kernel
+    element ``up_offset`` = interleaved bits of (g mod 2). This exactness holds
+    because every coarse voxel was created *from* the fine map by striding, so
+    the UNet's up path lands back on the matching down path's coordinates.
+
+Coordinates are stored as *grid* coordinates g_l = coordinate / 2^l; striding
+is then g_{l+1} = floor(g_l / 2) (matches ME stride semantics where level-l
+coords are multiples of 2^l).
+
+Everything here is host-side numpy (branchy hash work the TPU is bad at); a
+C++ fast path with the same contract lives in sparse/csrc.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+
+import numpy as np
+
+from agile3d_tpu.sparse.quantize import pack_coords
+
+# ---------------------------------------------------------------------------
+# Kernel offset enumeration.
+#
+# ME enumerates hypercube kernel offsets with the FIRST spatial axis varying
+# fastest for region iteration in its C++ kernel_region; the exact order only
+# matters for checkpoint weight conversion (a fixed permutation of kernel
+# slices). We pin itertools.product order (last axis fastest, like numpy
+# C-order) and expose it as the single source of truth; the torch->jax
+# converter (utils/ckpt.py) permutes checkpoint kernels through this table.
+# ---------------------------------------------------------------------------
+
+
+def kernel_offsets(kernel_size: int) -> np.ndarray:
+    """Offsets [K, 3] for a cubic kernel. Odd sizes are centered
+    ({-r..r}, r=(k-1)//2); even sizes span [0, k) (ME convention)."""
+    if kernel_size % 2 == 1:
+        r = (kernel_size - 1) // 2
+        rng = range(-r, r + 1)
+    else:
+        rng = range(0, kernel_size)
+    return np.array(list(itertools.product(rng, rng, rng)), dtype=np.int32)
+
+
+KERNEL_OFFSETS_CACHE = {k: kernel_offsets(k) for k in (2, 3, 5)}
+
+
+@dataclasses.dataclass
+class LevelMaps:
+    """One pyramid level (stride 2^level)."""
+
+    grid: np.ndarray          # int32 [N, 3] grid coords (coordinate / stride)
+    batch: np.ndarray         # int32 [N]
+    k3: np.ndarray            # int32 [N, 27] neighbor rows, -1 = absent
+    k5: np.ndarray | None     # int32 [N, 125] finest level only
+    # Maps to the NEXT (coarser) level; None at the coarsest level.
+    down: np.ndarray | None       # int32 [N_coarse, 8] fine rows per coarse voxel
+    up_parent: np.ndarray | None  # int32 [N] coarse row feeding this fine voxel
+    up_offset: np.ndarray | None  # int32 [N] kernel element in [0, 8)
+
+    @property
+    def num_voxels(self) -> int:
+        return self.grid.shape[0]
+
+
+@dataclasses.dataclass
+class Pyramid:
+    levels: list[LevelMaps]   # levels[0] = stride 1 (finest)
+
+
+def _lookup(keys_sorted: np.ndarray, order: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Rows of `query` keys in the key set, -1 if absent."""
+    pos = np.searchsorted(keys_sorted, query)
+    pos = np.minimum(pos, keys_sorted.size - 1)
+    hit = keys_sorted[pos] == query
+    return np.where(hit, order[pos], -1).astype(np.int32)
+
+
+def _neighbor_map(
+    grid: np.ndarray, batch: np.ndarray, keys_sorted: np.ndarray, order: np.ndarray,
+    offsets: np.ndarray,
+) -> np.ndarray:
+    n, k = grid.shape[0], offsets.shape[0]
+    out = np.empty((n, k), dtype=np.int32)
+    for j in range(k):
+        q = pack_coords(grid + offsets[j][None, :], batch)
+        out[:, j] = _lookup(keys_sorted, order, q)
+    return out
+
+
+def _sorted_index(grid: np.ndarray, batch: np.ndarray):
+    keys = pack_coords(grid, batch)
+    order = np.argsort(keys, kind="stable").astype(np.int64)
+    return keys[order], order
+
+
+def build_pyramid(
+    voxel_coords: np.ndarray,
+    batch: np.ndarray | None = None,
+    num_levels: int = 5,
+    stem_kernel: int = 5,
+) -> Pyramid:
+    """Build the full UNet coordinate pyramid + all gather maps.
+
+    Args:
+      voxel_coords: int [N, 3] quantized voxel coordinates (stride-1 grid).
+      batch: optional int [N] batch ids (multi-scene batches).
+      num_levels: pyramid depth (5 for Res16UNet: strides 1,2,4,8,16).
+      stem_kernel: kernel size of the stem conv (5 in the canonical config).
+    """
+    grid = np.ascontiguousarray(voxel_coords, dtype=np.int32)
+    if batch is None:
+        batch = np.zeros(grid.shape[0], dtype=np.int32)
+    batch = batch.astype(np.int32)
+
+    levels: list[LevelMaps] = []
+    off2 = KERNEL_OFFSETS_CACHE[2]
+    # Precompute bit weights turning (g mod 2) into the kernel-2 element index,
+    # consistent with kernel_offsets(2) enumeration order.
+    k2_weight = np.array([4, 2, 1], dtype=np.int32)  # product order: x slowest
+
+    for lvl in range(num_levels):
+        keys_sorted, order = _sorted_index(grid, batch)
+        k3 = _neighbor_map(grid, batch, keys_sorted, order, KERNEL_OFFSETS_CACHE[3])
+        k5 = None
+        if lvl == 0 and stem_kernel != 3:
+            k5 = _neighbor_map(
+                grid, batch, keys_sorted, order, KERNEL_OFFSETS_CACHE[stem_kernel]
+            )
+        levels.append(
+            LevelMaps(grid=grid, batch=batch, k3=k3, k5=k5,
+                      down=None, up_parent=None, up_offset=None)
+        )
+        if lvl == num_levels - 1:
+            break
+
+        # --- stride to the next level ---
+        coarse_of_fine = grid >> 1  # floor(g/2), grid is int32 (floor for negatives)
+        ckeys = pack_coords(coarse_of_fine, batch)
+        _, first_idx, inv_sorted = np.unique(ckeys, return_index=True, return_inverse=True)
+        corder = np.argsort(first_idx, kind="stable")
+        rank = np.empty_like(corder)
+        rank[corder] = np.arange(corder.size)
+        coarse_grid = coarse_of_fine[first_idx[corder]]
+        coarse_batch = batch[first_idx[corder]]
+        parent = rank[inv_sorted].astype(np.int32)          # fine -> coarse row
+
+        # down map: coarse j gathers fine voxels at 2*g_j + {0,1}^3
+        n_coarse = coarse_grid.shape[0]
+        down = np.full((n_coarse, 8), -1, dtype=np.int32)
+        child_offset = ((grid & 1) * k2_weight[None, :]).sum(axis=1)
+        down[parent, child_offset] = np.arange(grid.shape[0], dtype=np.int32)
+
+        levels[-1].down = down
+        levels[-1].up_parent = parent
+        levels[-1].up_offset = child_offset.astype(np.int32)
+
+        grid, batch = coarse_grid, coarse_batch
+
+    return Pyramid(levels=levels)

@@ -1,0 +1,72 @@
+"""Voxel quantization — TPU-native replacement for ME.utils.sparse_quantize.
+
+The reference calls ``ME.utils.sparse_quantize(coords, quantization_size,
+return_index=True, return_inverse=True)`` (reference
+datasets/InterMultiObj3DSegDataset.py:67-71) which hashes floored voxel
+coordinates in C++/CUDA and returns one representative point per voxel.
+
+This implementation runs host-side in numpy (the TPU does not want to do
+pointer-chasing hash maps); a C++ fast path lives in sparse/csrc. Voxel order
+is *first occurrence* in point order — deterministic, unlike ME's hash-map
+order. Downstream code never relies on a particular order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# 19 bits per spatial coordinate (signed range +-2^18), 6 bits batch.
+_COORD_BITS = 19
+_COORD_OFFSET = 1 << (_COORD_BITS - 1)
+_COORD_MAX = (1 << _COORD_BITS) - 1
+
+
+def pack_coords(coords: np.ndarray, batch: np.ndarray | None = None) -> np.ndarray:
+    """Pack int coords [N,3] (+ optional batch ids [N]) into int64 keys."""
+    c = coords.astype(np.int64) + _COORD_OFFSET
+    if c.min() < 0 or c.max() > _COORD_MAX:
+        raise ValueError(
+            f"coordinates out of packable range +-{_COORD_OFFSET}: "
+            f"[{coords.min()}, {coords.max()}]"
+        )
+    key = (c[:, 0] << (2 * _COORD_BITS)) | (c[:, 1] << _COORD_BITS) | c[:, 2]
+    if batch is not None:
+        key = key | (batch.astype(np.int64) << (3 * _COORD_BITS))
+    return key
+
+
+def sparse_quantize(
+    coords: np.ndarray, quantization_size: float
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Quantize float points to voxels.
+
+    Args:
+      coords: float [N, 3] point coordinates.
+      quantization_size: voxel edge length (0.05 m in the canonical config).
+
+    Returns:
+      (voxel_coords int32 [M, 3], unique_map int64 [M], inverse_map int64 [N])
+      such that ``voxel_coords == floor(coords/qsize)[unique_map]`` and
+      ``inverse_map[i]`` is the voxel row of point i. Voxels are ordered by
+      first occurrence in point order.
+    """
+    vox = np.floor(coords / quantization_size).astype(np.int32)
+    keys = pack_coords(vox)
+    _, first_idx, inv_sorted = np.unique(keys, return_index=True, return_inverse=True)
+    # Reorder unique voxels by first occurrence so ordering is point-stable.
+    order = np.argsort(first_idx, kind="stable")
+    rank = np.empty_like(order)
+    rank[order] = np.arange(order.size)
+    unique_map = first_idx[order]
+    inverse_map = rank[inv_sorted]
+    return vox[unique_map], unique_map.astype(np.int64), inverse_map.astype(np.int64)
+
+
+def batched_coordinates(coords_list: list[np.ndarray]) -> np.ndarray:
+    """Prepend a batch-index column (ME.utils.batched_coordinates,
+    reference datasets/InterMultiObj3DSegDataset.py:129)."""
+    rows = []
+    for b, c in enumerate(coords_list):
+        bcol = np.full((c.shape[0], 1), b, dtype=np.int32)
+        rows.append(np.hstack([bcol, c.astype(np.int32)]))
+    return np.vstack(rows)

@@ -1,0 +1,15 @@
+import os
+
+# Tests run on CPU with 8 virtual devices so mesh-parallel code is exercised
+# without a TPU pod (SURVEY.md section 4 test strategy). The axon
+# sitecustomize imports jax at interpreter start, so JAX_PLATFORMS in the
+# environment is already consumed — override through jax.config instead.
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,164 @@
+"""Sparse conv ops vs dense torch conv / brute force on tiny grids
+(SURVEY.md section 7 build order stage 1-2 test strategy)."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+
+from agile3d_tpu.sparse import build_pyramid, kernel_offsets
+from agile3d_tpu.ops.sparse_conv import (
+    sparse_conv,
+    sparse_conv_transpose,
+    avg_pool_down,
+    linear,
+)
+from agile3d_tpu.ops.norm import batch_norm, init_bn, layer_norm, init_layer_norm
+
+
+def _random_scene(rng, n=250, lo=0, hi=8):
+    vox = np.unique(rng.integers(lo, hi, size=(n, 3)).astype(np.int32), axis=0)
+    return vox
+
+
+def test_sparse_conv_matches_dense_torch():
+    """A sparse conv over a voxel set equals a dense conv over the same
+    voxels scattered into a zero grid, evaluated at occupied sites."""
+    rng = np.random.default_rng(0)
+    vox = _random_scene(rng)
+    n = len(vox)
+    cin, cout, ksize = 4, 6, 3
+    feats = rng.standard_normal((n, cin)).astype(np.float32)
+    w = rng.standard_normal((ksize**3, cin, cout)).astype(np.float32) * 0.2
+
+    pyr = build_pyramid(vox, num_levels=1)
+    out = sparse_conv(jnp.asarray(feats), jnp.asarray(pyr.levels[0].k3), jnp.asarray(w))
+
+    # dense reference: torch cross-correlation with our offset enumeration
+    g = 8
+    dense = np.zeros((1, cin, g, g, g), np.float32)
+    dense[0, :, vox[:, 0], vox[:, 1], vox[:, 2]] = feats
+    tw = np.zeros((cout, cin, ksize, ksize, ksize), np.float32)
+    r = (ksize - 1) // 2
+    for k, off in enumerate(kernel_offsets(ksize)):
+        tw[:, :, off[0] + r, off[1] + r, off[2] + r] = w[k].T
+    ref = torch.nn.functional.conv3d(
+        torch.from_numpy(dense), torch.from_numpy(tw), padding=r
+    ).numpy()[0]
+    ref_at_vox = ref[:, vox[:, 0], vox[:, 1], vox[:, 2]].T
+    np.testing.assert_allclose(np.asarray(out), ref_at_vox, rtol=1e-4, atol=1e-4)
+
+
+def test_strided_conv_and_transpose_brute_force():
+    rng = np.random.default_rng(1)
+    vox = _random_scene(rng, n=300, lo=-6, hi=6)
+    pyr = build_pyramid(vox, num_levels=2)
+    fine, coarse = pyr.levels[0], pyr.levels[1]
+    cin, cout = 3, 5
+    feats = rng.standard_normal((len(vox), cin)).astype(np.float32)
+    w = rng.standard_normal((8, cin, cout)).astype(np.float32)
+
+    out = np.asarray(sparse_conv(jnp.asarray(feats), jnp.asarray(fine.down), jnp.asarray(w)))
+
+    table = {tuple(g): i for i, g in enumerate(map(tuple, fine.grid))}
+    ref = np.zeros((len(coarse.grid), cout), np.float32)
+    for j, cg in enumerate(coarse.grid):
+        for k, off in enumerate(kernel_offsets(2)):
+            fi = table.get(tuple(2 * cg + off))
+            if fi is not None:
+                ref[j] += feats[fi] @ w[k]
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+    # transpose: fine voxel f gets coarse[parent] @ w[offset(f)]
+    cfeats = rng.standard_normal((len(coarse.grid), cin)).astype(np.float32)
+    wt = rng.standard_normal((8, cin, cout)).astype(np.float32)
+    tout = np.asarray(
+        sparse_conv_transpose(
+            jnp.asarray(cfeats), jnp.asarray(fine.up_parent),
+            jnp.asarray(fine.up_offset), jnp.asarray(wt),
+        )
+    )
+    tref = np.zeros((len(fine.grid), cout), np.float32)
+    for i, fg in enumerate(fine.grid):
+        parent = table_c = None
+        for j, cg in enumerate(coarse.grid):
+            if (cg == (fg >> 1)).all():
+                parent = j
+                break
+        off = fg - 2 * (fg >> 1)
+        k = off[0] * 4 + off[1] * 2 + off[2]
+        tref[i] = cfeats[parent] @ wt[k]
+    np.testing.assert_allclose(tout, tref, rtol=1e-4, atol=1e-5)
+
+
+def test_avg_pool_down():
+    rng = np.random.default_rng(2)
+    vox = _random_scene(rng, n=200, lo=0, hi=6)
+    pyr = build_pyramid(vox, num_levels=2)
+    fine, coarse = pyr.levels[0], pyr.levels[1]
+    x = rng.standard_normal((len(vox), 3)).astype(np.float32)
+    out = np.asarray(avg_pool_down(jnp.asarray(x), jnp.asarray(fine.down)))
+    for j in range(len(coarse.grid)):
+        members = fine.down[j][fine.down[j] >= 0]
+        np.testing.assert_allclose(out[j], x[members].mean(0), rtol=1e-5, atol=1e-6)
+
+
+def test_batch_norm_matches_torch():
+    rng = np.random.default_rng(3)
+    n, c = 64, 7
+    x = rng.standard_normal((n + 16, c)).astype(np.float32)
+    x[n:] = 0.0
+    valid = np.zeros(n + 16, bool)
+    valid[:n] = True
+
+    params, state = init_bn(c)
+    params = {"scale": jnp.asarray(rng.standard_normal(c).astype(np.float32)),
+              "bias": jnp.asarray(rng.standard_normal(c).astype(np.float32))}
+
+    tbn = torch.nn.BatchNorm1d(c, momentum=0.02)
+    with torch.no_grad():
+        tbn.weight.copy_(torch.from_numpy(np.asarray(params["scale"])))
+        tbn.bias.copy_(torch.from_numpy(np.asarray(params["bias"])))
+
+    # training step
+    y, new_state = batch_norm(jnp.asarray(x), jnp.asarray(valid), params, state,
+                              training=True, momentum=0.02)
+    tbn.train()
+    ty = tbn(torch.from_numpy(x[:n])).detach().numpy()
+    np.testing.assert_allclose(np.asarray(y)[:n], ty, rtol=1e-4, atol=1e-5)
+    assert (np.asarray(y)[n:] == 0).all()
+    np.testing.assert_allclose(np.asarray(new_state.mean),
+                               tbn.running_mean.numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(new_state.var),
+                               tbn.running_var.numpy(), rtol=1e-5, atol=1e-6)
+
+    # eval step with the updated running stats
+    y2, _ = batch_norm(jnp.asarray(x), jnp.asarray(valid), params, new_state,
+                       training=False)
+    tbn.eval()
+    ty2 = tbn(torch.from_numpy(x[:n])).detach().numpy()
+    np.testing.assert_allclose(np.asarray(y2)[:n], ty2, rtol=1e-4, atol=1e-5)
+
+
+def test_layer_norm_matches_torch():
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal((10, 16)).astype(np.float32)
+    p = init_layer_norm(16)
+    p = {"scale": jnp.asarray(rng.standard_normal(16).astype(np.float32)),
+         "bias": jnp.asarray(rng.standard_normal(16).astype(np.float32))}
+    tln = torch.nn.LayerNorm(16)
+    with torch.no_grad():
+        tln.weight.copy_(torch.from_numpy(np.asarray(p["scale"])))
+        tln.bias.copy_(torch.from_numpy(np.asarray(p["bias"])))
+    np.testing.assert_allclose(
+        np.asarray(layer_norm(jnp.asarray(x), p)),
+        tln(torch.from_numpy(x)).detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_linear_masks_pad_rows():
+    x = jnp.ones((4, 3))
+    w = jnp.ones((3, 2))
+    b = jnp.ones((2,))
+    valid = jnp.array([True, True, False, False])
+    y = linear(x, w, b, valid)
+    assert (np.asarray(y)[2:] == 0).all()
+    assert (np.asarray(y)[:2] == 4).all()
