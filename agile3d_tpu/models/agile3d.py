@@ -1,0 +1,309 @@
+"""AGILE3D model: two-phase click-as-query transformer decoder, TPU-native.
+
+Re-implements the reference model contract (reference models/agile3d.py):
+
+  forward_backbone  — expensive sparse UNet, run ONCE per scene
+                      (reference agile3d.py:163-181)
+  forward_mask      — cheap decoder, re-run once per click round
+                      (reference agile3d.py:183-339)
+
+The reference's ragged Python structures become static padded tensors:
+clicks are a [B, MAX_CLICKS] (voxel, object, time) table instead of a
+dict-of-lists (reference engine.py:73-75), objects are padded to
+1 + max_fg_objects mask columns, and the per-sample Python loop
+(agile3d.py:192) becomes batched masked ops, so the whole per-round pass is
+one jit-compiled XLA program.
+
+Query layout: slots [0, num_bg_queries) are the learned background queries
+(agile3d.py:47-48); slots [num_bg_queries, num_bg_queries + MAX_CLICKS) are
+click queries in insertion order. Background *clicks* are click slots with
+obj == 0 (the reference concatenates them behind the learned bg queries,
+agile3d.py:256-264; attention is permutation-invariant given the masks, and
+the per-object max in the mask head is order-free, so insertion order is
+equivalent).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from agile3d_tpu.config import ModelConfig
+from agile3d_tpu.models.backbone import backbone_forward, init_backbone
+from agile3d_tpu.ops.attention import (
+    NEG_INF,
+    cross_attention_layer,
+    ffn_layer,
+    init_attention_layer,
+    init_ffn_layer,
+    self_attention_layer,
+)
+from agile3d_tpu.ops.norm import init_layer_norm, layer_norm
+from agile3d_tpu.ops.pos_enc import fourier_pos, positional_encoding_1d, sine_pos
+from agile3d_tpu.ops.sparse_conv import linear
+from agile3d_tpu.sparse.grid import PaddedPyramid
+
+
+class ClickState(NamedTuple):
+    """Padded click table; the static-shape analogue of the reference's
+    click_idx / click_time_idx dict-of-lists."""
+
+    vox: jax.Array   # int32 [B, MAX_CLICKS] voxel slot in the sample, -1 unused
+    obj: jax.Array   # int32 [B, MAX_CLICKS] object id, 0 = background
+    time: jax.Array  # int32 [B, MAX_CLICKS] global click-order index
+
+
+class SceneFeatures(NamedTuple):
+    """Cached output of forward_backbone, consumed by every click round."""
+
+    mask_feat: jax.Array  # [B, Ns, C] squeezed stride-1 features
+    pos_pcd: jax.Array    # [B, Ns, C] fourier pos enc of raw coords
+    vox_valid: jax.Array  # bool [B, Ns]
+    raw: jax.Array        # [B, Ns, 3] raw (float) coords
+    cmin: jax.Array       # [B, 3] per-sample coord min
+    cmax: jax.Array       # [B, 3]
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _torch_linear_init(key, fan_in, fan_out):
+    kw, kb = jax.random.split(key)
+    lim = 1.0 / (fan_in ** 0.5)
+    return {
+        "w": jax.random.uniform(kw, (fan_in, fan_out), jnp.float32, -lim, lim),
+        "b": jax.random.uniform(kb, (fan_out,), jnp.float32, -lim, lim),
+    }
+
+
+def init_agile3d(key, cfg: ModelConfig = ModelConfig()):
+    """Returns (params, buffers, bn_state). ``buffers`` are non-trainable
+    (the Gaussian fourier matrix — a registered buffer in the reference,
+    position_embedding.py:70-72 — and the click-time table)."""
+    c = cfg.hidden_dim
+    keys = iter(jax.random.split(key, 16))
+
+    params = {}
+    bparams, bstate = init_backbone(next(keys), cfg.backbone)
+    params["backbone"] = bparams
+
+    # 1x1 conv 96 -> 128 with bias (reference agile3d.py:43-45)
+    fan = cfg.backbone.planes[7]
+    lim = 1.0 / (fan ** 0.5)
+    kw, kb = jax.random.split(next(keys))
+    params["lin_squeeze"] = {
+        "w": jax.random.uniform(kw, (fan, c), jnp.float32, -lim, lim),
+        "b": jax.random.uniform(kb, (c,), jnp.float32, -lim, lim),
+    }
+
+    # learned background queries (nn.Embedding default init: N(0,1))
+    params["bg_query_feat"] = jax.random.normal(next(keys), (cfg.num_bg_queries, c))
+    params["bg_query_pos"] = jax.random.normal(next(keys), (cfg.num_bg_queries, c))
+
+    k1, k2 = jax.random.split(next(keys))
+    params["mask_embed_head"] = {
+        "linear1": _torch_linear_init(k1, c, c),
+        "linear2": _torch_linear_init(k2, c, c),
+    }
+    params["decoder_norm"] = init_layer_norm(c)
+
+    num_sets = 1 if cfg.shared_decoder else cfg.num_decoders
+    decoders = []
+    for _ in range(num_sets):
+        kd = jax.random.split(next(keys), 4)
+        decoders.append({
+            "c2s": init_attention_layer(kd[0], c),
+            "c2c": init_attention_layer(kd[1], c),
+            "ffn": init_ffn_layer(kd[2], c, cfg.dim_feedforward),
+            "s2c": init_attention_layer(kd[3], c),
+        })
+    params["decoders"] = decoders
+
+    buffers = {
+        "gauss_B": jax.random.normal(next(keys), (3, c // 2)) * cfg.gauss_scale,
+        "time_pe": jnp.asarray(positional_encoding_1d(c, cfg.time_table_len)),
+    }
+    return params, buffers, bstate
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: backbone
+# ---------------------------------------------------------------------------
+
+
+def _pos_enc(xyz, buffers, cmin, cmax, cfg: ModelConfig):
+    if cfg.positional_encoding_type == "fourier":
+        return fourier_pos(xyz, buffers["gauss_B"], cmin, cmax,
+                           normalize=cfg.normalize_pos_enc)
+    if cfg.positional_encoding_type == "sine":
+        return sine_pos(xyz, cfg.hidden_dim, cmin, cmax,
+                        normalize=cfg.normalize_pos_enc)
+    raise ValueError(cfg.positional_encoding_type)
+
+
+def forward_backbone(
+    params,
+    buffers,
+    bn_state,
+    pyr: PaddedPyramid,
+    feats: jax.Array,       # [N0, 3] flat voxel colors
+    raw_coords: jax.Array,  # [N0, 3] flat raw float coords
+    sample_idx: jax.Array,  # int32 [B, Ns] flat rows per sample slot, -1 pad
+    *,
+    training: bool = False,
+    cfg: ModelConfig = ModelConfig(),
+):
+    """Run the UNet once per scene and cache everything the per-click decoder
+    needs (reference agile3d.py:163-181). Returns (SceneFeatures, bn_state')."""
+    fmaps, new_bn_state = backbone_forward(
+        params["backbone"], bn_state, pyr, feats,
+        training=training, cfg=cfg.backbone)
+    squeezed = linear(fmaps[-1], params["lin_squeeze"]["w"],
+                      params["lin_squeeze"]["b"], valid=pyr.levels[0].valid)
+
+    # flat -> per-sample padded gather
+    vox_valid = sample_idx >= 0
+    safe = jnp.clip(sample_idx, 0, squeezed.shape[0] - 1)
+    mask_feat = jnp.where(vox_valid[..., None], squeezed[safe], 0)
+    raw_b = jnp.where(vox_valid[..., None], raw_coords[safe], 0)
+
+    big = jnp.asarray(3.4e38, raw_b.dtype)
+    cmin = jnp.min(jnp.where(vox_valid[..., None], raw_b, big), axis=1)
+    cmax = jnp.max(jnp.where(vox_valid[..., None], raw_b, -big), axis=1)
+
+    pos_pcd = _pos_enc(raw_b, buffers, cmin[:, None, :], cmax[:, None, :], cfg)
+    pos_pcd = jnp.where(vox_valid[..., None], pos_pcd, 0)
+
+    scene = SceneFeatures(mask_feat=mask_feat, pos_pcd=pos_pcd,
+                          vox_valid=vox_valid, raw=raw_b, cmin=cmin, cmax=cmax)
+    return scene, new_bn_state
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: per-click-round decoder
+# ---------------------------------------------------------------------------
+
+
+def _mask_module(params, queries, src, query_obj, query_valid, col_valid,
+                 vox_valid):
+    """Mask head (reference agile3d.py:342-384): LayerNorm -> 2-layer MLP ->
+    voxel-query dot products -> per-object max over that object's click
+    queries -> [bg | fg] logits; plus the next round's attention bias.
+
+    Returns (out [B, N, 1+K] with invalid object columns at NEG_INF,
+             round_bias [B, Q, N])."""
+    mh = params["mask_embed_head"]
+    qn = layer_norm(queries, params["decoder_norm"])
+    emb = jax.nn.relu(qn @ mh["linear1"]["w"] + mh["linear1"]["b"])
+    emb = emb @ mh["linear2"]["w"] + mh["linear2"]["b"]          # [B, Q, C]
+    logits = jnp.einsum("bnc,bqc->bnq", src, emb)                 # [B, N, Q]
+
+    n_cols = col_valid.shape[1]
+    cols = []
+    for o in range(n_cols):
+        sel = (query_obj == o) & query_valid                      # [B, Q]
+        cols.append(jnp.max(
+            jnp.where(sel[:, None, :], logits, NEG_INF), axis=-1))
+    out = jnp.stack(cols, axis=-1)                                # [B, N, 1+K]
+    out = jnp.where(col_valid[:, None, :], out, NEG_INF)
+
+    # next-round attention bias (reference agile3d.py:363-382): click queries
+    # of object o attend only to voxels currently argmax'd to o; rows that
+    # would mask everything are reset to fully open.
+    labels = jnp.argmax(out, axis=-1)                             # [B, N]
+    labels = jnp.where(vox_valid, labels, -1)
+    obj_ids = jnp.arange(n_cols)
+    match = labels[:, None, :] == obj_ids[None, :, None]          # [B, 1+K, N]
+    present = jnp.any(match, axis=-1, keepdims=True)              # [B, 1+K, 1]
+    per_obj_bias = jnp.where(present & ~match, NEG_INF, 0.0)      # [B, 1+K, N]
+    safe_obj = jnp.clip(query_obj, 0, n_cols - 1)
+    round_bias = jnp.take_along_axis(
+        per_obj_bias, safe_obj[:, :, None], axis=1)               # [B, Q, N]
+    return out, round_bias
+
+
+def forward_mask(
+    params,
+    buffers,
+    scene: SceneFeatures,
+    clicks: ClickState,
+    num_obj: jax.Array,  # int32 [B]
+    *,
+    cfg: ModelConfig = ModelConfig(),
+):
+    """One decoder pass over all click rounds' queries (reference
+    agile3d.py:183-339). Returns dict with:
+
+      pred_masks  [B, N, 1 + max_fg_objects] — final round logits
+      aux_masks   [R-1, B, N, 1 + max_fg_objects] — intermediate rounds
+                  (reference 'aux_outputs', agile3d.py:336-337)
+    """
+    if tuple(cfg.hlevels) != (4,):
+        raise NotImplementedError("only the canonical hlevels=[4] is built")
+    b, n, c = scene.mask_feat.shape
+    nbq = cfg.num_bg_queries
+    heads = cfg.num_heads
+
+    click_valid = clicks.vox >= 0                                 # [B, MC]
+    safe_vox = jnp.clip(clicks.vox, 0, n - 1)
+
+    cfeat = jnp.take_along_axis(
+        scene.mask_feat, safe_vox[..., None], axis=1)
+    cfeat = jnp.where(click_valid[..., None], cfeat, 0)
+
+    cxyz = jnp.take_along_axis(scene.raw, safe_vox[..., None], axis=1)
+    cpos = _pos_enc(cxyz, buffers, scene.cmin[:, None, :],
+                    scene.cmax[:, None, :], cfg)
+    t_safe = jnp.clip(clicks.time, 0, buffers["time_pe"].shape[0] - 1)
+    cpos = cpos + buffers["time_pe"][t_safe]
+    cpos = jnp.where(click_valid[..., None], cpos, 0)
+
+    bg_feat = jnp.broadcast_to(params["bg_query_feat"][None], (b, nbq, c))
+    bg_pos = jnp.broadcast_to(params["bg_query_pos"][None], (b, nbq, c))
+
+    queries = jnp.concatenate([bg_feat, cfeat], axis=1)           # [B, Q, C]
+    query_pos = jnp.concatenate([bg_pos, cpos], axis=1)
+    query_obj = jnp.concatenate(
+        [jnp.zeros((b, nbq), jnp.int32), clicks.obj], axis=1)
+    query_valid = jnp.concatenate(
+        [jnp.ones((b, nbq), bool), click_valid], axis=1)
+
+    # static key-padding biases
+    vox_key_bias = jnp.where(scene.vox_valid, 0.0, NEG_INF)[:, None, :]  # [B,1,N]
+    q_key_bias = jnp.where(query_valid, 0.0, NEG_INF)[:, None, :]        # [B,1,Q]
+
+    n_cols = 1 + cfg.max_fg_objects
+    col_valid = (jnp.arange(n_cols)[None, :] <= num_obj[:, None])  # [B, 1+K]
+
+    src = scene.mask_feat
+    round_bias = jnp.zeros((b, queries.shape[1], n))
+    preds = []
+    for r in range(cfg.num_decoders):
+        dp = params["decoders"][0 if cfg.shared_decoder else r]
+        queries = cross_attention_layer(
+            dp["c2s"], queries, src, heads, pos=scene.pos_pcd,
+            query_pos=query_pos, attn_bias=round_bias + vox_key_bias,
+            pre_norm=cfg.pre_norm)
+        queries = self_attention_layer(
+            dp["c2c"], queries, heads, query_pos=query_pos,
+            attn_bias=q_key_bias, pre_norm=cfg.pre_norm)
+        queries = ffn_layer(dp["ffn"], queries, pre_norm=cfg.pre_norm)
+        src = cross_attention_layer(
+            dp["s2c"], src, queries, heads, pos=query_pos,
+            query_pos=scene.pos_pcd,
+            attn_bias=jnp.broadcast_to(q_key_bias, (b, n, queries.shape[1])),
+            pre_norm=cfg.pre_norm)
+        masks, round_bias = _mask_module(
+            params, queries, src, query_obj, query_valid, col_valid,
+            scene.vox_valid)
+        preds.append(masks)
+
+    return {
+        "pred_masks": preds[-1],
+        "aux_masks": jnp.stack(preds[:-1]) if len(preds) > 1 else None,
+        "all_masks": jnp.stack(preds),
+    }

@@ -1,0 +1,99 @@
+"""Losses: click-weighted cross-entropy + multiclass soft-Dice, batched and
+masked (reference models/criterion.py:15-132, weights main.py:56-58).
+
+The reference computes per-sample losses over ragged [N_b, 1+num_obj_b]
+logits; here everything is [B, N, 1+K] with validity masks. Padded object
+columns carry NEG_INF logits so their softmax mass is exactly 0 — the math
+then telescopes to the reference's per-sample class count (the only residue
+is the eps-scale in dice's mean-over-C, an O(eps*K) ~ 1e-5 difference).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from agile3d_tpu.config import LossConfig
+
+
+def click_loss_weights(raw, vox_valid, click_vox, click_valid, cfg: LossConfig):
+    """Per-point loss weights: points near clicks weigh more (reference
+    utils/seg.py:62-89: alpha + (beta-alpha) * (1 - clamp(d, tita)/tita)).
+
+    raw [B, N, 3]; click_vox [B, MC] voxel slots (-1 invalid).
+    Returns [B, N].
+    """
+    n = raw.shape[1]
+    safe = jnp.clip(click_vox, 0, n - 1)
+    cxyz = jnp.take_along_axis(raw, safe[..., None], axis=1)      # [B, MC, 3]
+    d2 = jnp.sum((raw[:, :, None, :] - cxyz[:, None, :, :]) ** 2, axis=-1)
+    d2 = jnp.where(click_valid[:, None, :], d2, jnp.inf)
+    dmin = jnp.sqrt(jnp.min(d2, axis=-1))                         # [B, N]
+    dmin = jnp.where(jnp.isfinite(dmin), dmin, cfg.w_tita)
+    w = cfg.w_alpha + (cfg.w_beta - cfg.w_alpha) * (
+        1.0 - jnp.clip(dmin, max=cfg.w_tita) / cfg.w_tita)
+    return jnp.where(vox_valid, w, 0.0)
+
+
+def _masked_mean(x, valid):
+    return jnp.sum(x * valid, axis=-1) / jnp.maximum(valid.sum(axis=-1), 1)
+
+
+def _bce(logits, target, weights, vox_valid):
+    """F.cross_entropy(pred, target, reduction='none') * w, mean over points,
+    mean over batch (reference criterion.py:77-91)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, target[..., None], axis=-1)[..., 0]
+    return _masked_mean(ce * weights, vox_valid).mean()
+
+
+def _dice(logits, target, weights, vox_valid, n_cols, eps=1e-6):
+    """Reference criterion.py:15-74: the 'dice' telescopes to a per-point
+    soft accuracy because the flatten(1).mean(1) runs over the class dim."""
+    p = jax.nn.softmax(logits, axis=-1)
+    p_gt = jnp.take_along_axis(p, target[..., None], axis=-1)[..., 0]
+    num = 2.0 * p_gt / n_cols
+    den = 2.0 / n_cols
+    soft_iou = (num + eps) / (den + eps)
+    loss = jnp.where(num > eps, 1.0 - soft_iou, 0.0)
+    return _masked_mean(loss * weights, vox_valid).mean()
+
+
+def criterion_forward(
+    all_masks,      # [R, B, N, 1+K] logits, all decoder rounds
+    target,         # int32 [B, N] labels in [0, num_obj]
+    weights,        # [B, N] click-proximity weights
+    vox_valid,      # bool [B, N]
+    cfg: LossConfig = LossConfig(),
+):
+    """Returns the reference's loss dict: final round as loss_bce/loss_dice,
+    intermediate rounds suffixed _i (reference criterion.py:114-132)."""
+    n_rounds, _, _, n_cols = all_masks.shape
+    losses = {}
+    fin = all_masks[-1]
+    if "bce" in cfg.losses:
+        losses["loss_bce"] = _bce(fin, target, weights, vox_valid)
+    if "dice" in cfg.losses:
+        losses["loss_dice"] = _dice(fin, target, weights, vox_valid, n_cols)
+    if cfg.aux:
+        for i in range(n_rounds - 1):
+            if "bce" in cfg.losses:
+                losses[f"loss_bce_{i}"] = _bce(all_masks[i], target, weights, vox_valid)
+            if "dice" in cfg.losses:
+                losses[f"loss_dice_{i}"] = _dice(all_masks[i], target, weights,
+                                                 vox_valid, n_cols)
+    return losses
+
+
+def loss_weight_dict(cfg: LossConfig, num_aux_rounds: int):
+    """reference criterion.py:135-150."""
+    wd = {"loss_bce": cfg.bce_loss_coef, "loss_dice": cfg.dice_loss_coef}
+    if cfg.aux:
+        for i in range(num_aux_rounds):
+            wd[f"loss_bce_{i}"] = cfg.bce_loss_coef
+            wd[f"loss_dice_{i}"] = cfg.dice_loss_coef
+    return wd
+
+
+def total_loss(losses: dict, weight_dict: dict):
+    return sum(losses[k] * weight_dict[k] for k in losses if k in weight_dict)

@@ -1,0 +1,131 @@
+"""Multi-head attention + DETR-style layers, torch-parity semantics.
+
+Replaces torch nn.MultiheadAttention as used by the reference decoder blocks
+(reference models/modules/attention_block.py:5-166): additive positional
+embeddings on q/k only, post-norm residual blocks (pre_norm=False in the
+canonical config, main.py:48), additive attention bias (torch bool masks
+become -inf logits; we use a large finite negative so fully-masked rows
+degrade gracefully — the reference explicitly resets fully-masked rows
+before they reach the attention, agile3d.py:369,375).
+
+Parameter convention: matrices are stored [in, out] (jax convention); the
+torch->jax checkpoint converter transposes. MHA keeps torch's packed
+in_proj layout split into q/k/v.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from agile3d_tpu.ops.norm import init_layer_norm, layer_norm
+
+NEG_INF = -1e9
+
+
+def init_mha(key, d_model: int):
+    """Xavier-uniform matrices, zero biases (torch nn.MultiheadAttention
+    init, then the reference re-xavier's every >1-dim param,
+    attention_block.py:20-23)."""
+    ks = jax.random.split(key, 4)
+    lim = (6.0 / (2 * d_model)) ** 0.5
+
+    def xav(k):
+        return jax.random.uniform(k, (d_model, d_model), jnp.float32, -lim, lim)
+
+    return {
+        "q_w": xav(ks[0]), "k_w": xav(ks[1]), "v_w": xav(ks[2]),
+        "q_b": jnp.zeros(d_model), "k_b": jnp.zeros(d_model),
+        "v_b": jnp.zeros(d_model),
+        "out_w": xav(ks[3]), "out_b": jnp.zeros(d_model),
+    }
+
+
+def mha(params, q_in, k_in, v_in, num_heads: int, attn_bias=None):
+    """Batched MHA. q_in [B, Lq, E]; k_in/v_in [B, Lk, E];
+    attn_bias [B, Lq, Lk] additive (broadcast over heads, like torch's 2D
+    attn_mask)."""
+    b, lq, e = q_in.shape
+    lk = k_in.shape[1]
+    hd = e // num_heads
+
+    def proj(x, w, bias):
+        return (x @ w + bias).reshape(x.shape[0], x.shape[1], num_heads, hd)
+
+    q = proj(q_in, params["q_w"], params["q_b"]) * (hd ** -0.5)
+    k = proj(k_in, params["k_w"], params["k_b"])
+    v = proj(v_in, params["v_w"], params["v_b"])
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k)
+    if attn_bias is not None:
+        logits = logits + attn_bias[:, None, :, :]
+    w = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, lq, e)
+    return out @ params["out_w"] + params["out_b"]
+
+
+def _xavier_linear(key, fan_in, fan_out):
+    lim = (6.0 / (fan_in + fan_out)) ** 0.5
+    kw, kb = jax.random.split(key)
+    blim = 1.0 / (fan_in ** 0.5)  # torch Linear bias default
+    return {
+        "w": jax.random.uniform(kw, (fan_in, fan_out), jnp.float32, -lim, lim),
+        "b": jax.random.uniform(kb, (fan_out,), jnp.float32, -blim, blim),
+    }
+
+
+def init_attention_layer(key, d_model: int):
+    """Self/CrossAttentionLayer: MHA + residual + LayerNorm."""
+    return {"attn": init_mha(key, d_model), "norm": init_layer_norm(d_model)}
+
+
+def init_ffn_layer(key, d_model: int, dim_feedforward: int):
+    k1, k2 = jax.random.split(key)
+    p = {
+        "linear1": _xavier_linear(k1, d_model, dim_feedforward),
+        "linear2": _xavier_linear(k2, dim_feedforward, d_model),
+        "norm": init_layer_norm(d_model),
+    }
+    return p
+
+
+def self_attention_layer(params, tgt, num_heads, *, query_pos=None,
+                         attn_bias=None, pre_norm=False):
+    """reference attention_block.py:28-50 (q = k = tgt + query_pos,
+    value = tgt)."""
+    if pre_norm:
+        t2 = layer_norm(tgt, params["norm"])
+        q = t2 if query_pos is None else t2 + query_pos
+        out = mha(params["attn"], q, q, t2, num_heads, attn_bias)
+        return tgt + out
+    q = tgt if query_pos is None else tgt + query_pos
+    out = mha(params["attn"], q, q, tgt, num_heads, attn_bias)
+    return layer_norm(tgt + out, params["norm"])
+
+
+def cross_attention_layer(params, tgt, memory, num_heads, *, pos=None,
+                          query_pos=None, attn_bias=None, pre_norm=False):
+    """reference attention_block.py:86-113 (q = tgt + query_pos,
+    k = memory + pos, value = memory)."""
+    if pre_norm:
+        t2 = layer_norm(tgt, params["norm"])
+        q = t2 if query_pos is None else t2 + query_pos
+        k = memory if pos is None else memory + pos
+        out = mha(params["attn"], q, k, memory, num_heads, attn_bias)
+        return tgt + out
+    q = tgt if query_pos is None else tgt + query_pos
+    k = memory if pos is None else memory + pos
+    out = mha(params["attn"], q, k, memory, num_heads, attn_bias)
+    return layer_norm(tgt + out, params["norm"])
+
+
+def ffn_layer(params, tgt, *, pre_norm=False):
+    """reference attention_block.py:151-161 (relu activation)."""
+    if pre_norm:
+        t2 = layer_norm(tgt, params["norm"])
+        t2 = jax.nn.relu(t2 @ params["linear1"]["w"] + params["linear1"]["b"])
+        t2 = t2 @ params["linear2"]["w"] + params["linear2"]["b"]
+        return tgt + t2
+    t2 = jax.nn.relu(tgt @ params["linear1"]["w"] + params["linear1"]["b"])
+    t2 = t2 @ params["linear2"]["w"] + params["linear2"]["b"]
+    return layer_norm(tgt + t2, params["norm"])

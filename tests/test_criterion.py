@@ -1,0 +1,99 @@
+"""Criterion parity vs the reference torch math (criterion.py, seg.py)."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+import jax.numpy as jnp
+
+from agile3d_tpu.config import LossConfig
+from agile3d_tpu.models.criterion import (
+    click_loss_weights,
+    criterion_forward,
+    loss_weight_dict,
+    total_loss,
+)
+
+
+def torch_ref_losses(pred_masks_rounds, targets, weights):
+    """Reference criterion: per-sample CE and per-point 'dice'
+    (reference criterion.py:15-132), for a list of rounds."""
+
+    def multiclass_dice(inp, tgt, eps=1e-6):
+        inp = inp.softmax(1)
+        ncls = inp.size(1)
+        tgt1 = torch.stack([tgt == c for c in range(ncls)], 1).to(inp.dtype)
+        num = 2.0 * (inp * tgt1).mean(1)
+        den = (inp + tgt1).mean(1)
+        soft_iou = (num + eps) / (den + eps)
+        return torch.where(num > eps, 1.0 - soft_iou, soft_iou * 0.0)
+
+    out = {}
+    final = pred_masks_rounds[-1]
+    out["loss_bce"] = (F.cross_entropy(final, targets.long(), reduction="none")
+                       * weights).mean()
+    out["loss_dice"] = (multiclass_dice(final, targets.long()) * weights).mean()
+    for i, pm in enumerate(pred_masks_rounds[:-1]):
+        out[f"loss_bce_{i}"] = (F.cross_entropy(pm, targets.long(),
+                                                reduction="none") * weights).mean()
+        out[f"loss_dice_{i}"] = (multiclass_dice(pm, targets.long())
+                                 * weights).mean()
+    return {k: float(v) for k, v in out.items()}
+
+
+def test_criterion_matches_torch():
+    rng = np.random.default_rng(0)
+    n_valid, n_pad, num_obj, k = 200, 256, 3, 10
+    rounds = 3
+
+    # padded jax inputs: invalid object columns NEG_INF, pad rows irrelevant
+    logits = rng.standard_normal((rounds, 1, n_pad, 1 + k)).astype(np.float32)
+    logits[:, :, :, num_obj + 1:] = -1e9
+    target = rng.integers(0, num_obj + 1, size=(1, n_pad)).astype(np.int32)
+    weights = (rng.random((1, n_pad)).astype(np.float32) + 0.5)
+    valid = np.zeros((1, n_pad), bool)
+    valid[:, :n_valid] = True
+
+    mine = criterion_forward(jnp.asarray(logits), jnp.asarray(target),
+                             jnp.asarray(weights), jnp.asarray(valid))
+
+    # torch reference uses exact per-sample shapes [N, 1+num_obj]
+    tl = [torch.from_numpy(logits[r, 0, :n_valid, : 1 + num_obj])
+          for r in range(rounds)]
+    ref = torch_ref_losses(tl, torch.from_numpy(target[0, :n_valid]),
+                           torch.from_numpy(weights[0, :n_valid]))
+
+    assert set(mine) == set(ref)
+    for name in ref:
+        np.testing.assert_allclose(float(mine[name]), ref[name],
+                                   rtol=2e-4, atol=1e-5), name
+
+    wd = loss_weight_dict(LossConfig(), num_aux_rounds=rounds - 1)
+    tot = float(total_loss(mine, wd))
+    ref_tot = sum(ref[n] * wd[n] for n in ref)
+    np.testing.assert_allclose(tot, ref_tot, rtol=2e-4)
+
+
+def test_click_loss_weights_matches_torch_cdist():
+    rng = np.random.default_rng(1)
+    n_valid, n_pad, mc = 150, 192, 8
+    raw = rng.random((1, n_pad, 3)).astype(np.float32) * 3
+    vox_valid = np.zeros((1, n_pad), bool)
+    vox_valid[:, :n_valid] = True
+    click_vox = np.full((1, mc), -1, np.int32)
+    click_vox[0, :5] = rng.integers(0, n_valid, 5)
+    click_valid = click_vox >= 0
+
+    cfg = LossConfig()
+    mine = np.asarray(click_loss_weights(
+        jnp.asarray(raw), jnp.asarray(vox_valid), jnp.asarray(click_vox),
+        jnp.asarray(click_valid), cfg))
+
+    # reference utils/seg.py:62-70
+    pts = torch.from_numpy(raw[0, :n_valid])
+    clk = torch.from_numpy(raw[0, click_vox[0, :5]])
+    d = torch.cdist(pts, clk).min(dim=1)[0]
+    ref = cfg.w_alpha + (cfg.w_beta - cfg.w_alpha) * (
+        1 - torch.clamp(d, max=cfg.w_tita) / cfg.w_tita)
+    np.testing.assert_allclose(mine[0, :n_valid], ref.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    assert (mine[0, n_valid:] == 0).all()
