@@ -95,6 +95,12 @@ class Config:
     model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    # voxel-count padding buckets (one jit compilation per bucket)
+    buckets: Sequence[int] = None  # default set in __post_init__
+
+    def __post_init__(self):
+        if self.buckets is None:
+            object.__setattr__(self, "buckets", DEFAULT_VOXEL_BUCKETS)
 
 
 # Voxel-count buckets: scenes are padded up to the nearest bucket so jit

@@ -1,0 +1,202 @@
+"""Interactive evaluation rollout (reference eval_multi_obj.py:76-173,
+eval_single_obj.py:76-167, engine.py:183-307).
+
+Per scene: run the backbone ONCE, then iterate click rounds — decoder
+forward, clicked-voxel gt-override, full-resolution IoU, click simulation —
+until the click budget is spent, writing one ``id scene obj clicks iou`` CSV
+row per round. The model passes, IoU, and boundary distances run jitted on
+device; the loop control and CSV writing stay on host (one dispatch per
+round; see bench.py for the per-round latency).
+"""
+
+from __future__ import annotations
+
+import functools
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from agile3d_tpu.config import Config, bucket_size
+from agile3d_tpu.data.datasets import SceneBatch, collate_scenes
+from agile3d_tpu.engine.clicks import (
+    HostClicks,
+    apply_click_override,
+    iou_per_object,
+    simulate_clicks,
+)
+from agile3d_tpu.models.agile3d import ClickState, forward_backbone, forward_mask
+
+
+class InteractiveEngine:
+    """Holds jitted model entry points (weights are donated per call so the
+    same engine serves training checkpoints as they evolve)."""
+
+    def __init__(self, cfg: Config):
+        self.cfg = cfg
+
+        @functools.partial(jax.jit, static_argnames=("training",))
+        def _backbone(params, buffers, bn_state, pyr, feats, raw, sample_idx,
+                      training=False):
+            return forward_backbone(params, buffers, bn_state, pyr, feats,
+                                    raw, sample_idx, training=training,
+                                    cfg=cfg.model)
+
+        @jax.jit
+        def _mask(params, buffers, scene, clicks, num_obj):
+            out = forward_mask(params, buffers, scene, clicks, num_obj,
+                               cfg=cfg.model)
+            pred = jnp.argmax(out["pred_masks"], axis=-1).astype(jnp.int32)
+            return out, pred
+
+        @functools.partial(jax.jit, static_argnames=("max_obj",))
+        def _scene_iou(pred_full, labels_full, valid, max_obj):
+            ious, present = iou_per_object(pred_full, labels_full, valid,
+                                           max_obj=max_obj)
+            return jnp.sum(jnp.where(present, ious, 0.0)) / jnp.maximum(
+                present.sum(), 1)
+
+        self._backbone = _backbone
+        self._mask = _mask
+        self._scene_iou = _scene_iou
+        self._dev_cache_key = None
+        self._dev_cache = None
+
+    def device_batch(self, batch: SceneBatch):
+        """Device-resident (pyramid, feats, raw, sample_idx) for a batch,
+        cached so the ~100 MB of kernel maps upload once per batch, not once
+        per model call."""
+        if self._dev_cache_key is not batch:
+            self._dev_cache = jax.device_put(
+                (batch.pyramid, jnp.asarray(batch.feats),
+                 jnp.asarray(batch.raw), jnp.asarray(batch.sample_idx)))
+            self._dev_cache_key = batch
+        return self._dev_cache
+
+    def run_backbone(self, params, buffers, bn_state, batch: SceneBatch,
+                     training=False):
+        pyr, feats, raw, sample_idx = self.device_batch(batch)
+        return self._backbone(params, buffers, bn_state, pyr, feats, raw,
+                              sample_idx, training=training)
+
+    def run_mask(self, params, buffers, scene, clicks: HostClicks, num_obj):
+        cs = ClickState(vox=jnp.asarray(clicks.vox[None]),
+                        obj=jnp.asarray(clicks.obj[None]),
+                        time=jnp.asarray(clicks.time[None]))
+        return self._mask(params, buffers, scene, cs,
+                          jnp.asarray([num_obj], jnp.int32))
+
+    def scene_iou(self, pred_vox: np.ndarray, inverse_map: np.ndarray,
+                  labels_full: np.ndarray) -> float:
+        """Devoxelized mean IoU (reference eval loop: pred[inverse_map] vs
+        labels_full through mean_iou_scene, eval_multi_obj.py:145-148)."""
+        pred_full = pred_vox[inverse_map]
+        n = len(pred_full)
+        npad = bucket_size(n)
+        valid = np.zeros(npad, bool)
+        valid[:n] = True
+        pf = np.zeros(npad, np.int32)
+        pf[:n] = pred_full
+        lf = np.zeros(npad, np.int32)
+        lf[:n] = labels_full
+        return float(self._scene_iou(jnp.asarray(pf), jnp.asarray(lf),
+                                     jnp.asarray(valid),
+                                     self.cfg.model.max_fg_objects))
+
+
+def evaluate_scene(
+    engine: InteractiveEngine,
+    params, buffers, bn_state,
+    batch: SceneBatch,
+    *,
+    mode: str,                 # 'multi' | 'single'
+    instance_id: int,
+    rng: random.Random,
+    max_num_clicks: int = 20,
+    skip_converged: bool = True,
+) -> list[str]:
+    """Run the full click rollout for one scene (batch size 1). Returns CSV
+    rows ``id scene obj clicks iou``."""
+    assert len(batch.scene_names) == 1, "eval runs val_batch_size=1"
+    cfg = engine.cfg
+    scene, _ = engine.run_backbone(params, buffers, bn_state, batch)
+
+    n_valid = int((batch.sample_idx[0] >= 0).sum())
+    labels_v = batch.labels[0, :n_valid]
+    raw_v = batch.raw[:n_valid]
+    num_obj = int(batch.num_obj[0])
+    tag = batch.obj_tags[0]
+    scene_name = batch.scene_names[0].replace("scene", "")
+
+    clicks = HostClicks(cfg.model.max_clicks)
+    budget = num_obj * max_num_clicks if mode == "multi" else max_num_clicks
+    current = 0
+    rows = []
+    converged_iou = None
+
+    while current <= budget:
+        if current == 0:
+            pred = np.zeros(n_valid, np.int32)
+        elif converged_iou is None:
+            _, pred_dev = engine.run_mask(params, buffers, scene, clicks,
+                                          num_obj)
+            pred = np.asarray(pred_dev[0])[:n_valid].copy()
+            pred = apply_click_override(pred, clicks)
+
+        if converged_iou is None:
+            iou = engine.scene_iou(pred, batch.inverse_map[0],
+                                   batch.labels_full[0])
+        else:
+            iou = converged_iou
+
+        clicks_col = (current / num_obj) if mode == "multi" else current
+        rows.append(f"{instance_id} {scene_name} {tag} {clicks_col} {iou}")
+
+        if converged_iou is None:
+            new = simulate_clicks(
+                pred, labels_v, raw_v, num_obj=num_obj, training=False,
+                current_num_clicks=current, rng=rng,
+                max_label=cfg.model.max_fg_objects)
+            if new is not None:
+                clicks.extend(new)
+            elif skip_converged:
+                # No errors left: every further round reproduces the same
+                # prediction (click state is frozen), so freeze the IoU too.
+                converged_iou = iou
+
+        if mode == "multi":
+            current += num_obj if current == 0 else 1
+        else:
+            current += 1
+
+    return rows
+
+
+def evaluate_dataset(
+    engine: InteractiveEngine,
+    params, buffers, bn_state,
+    dataset,
+    results_file: str,
+    *,
+    mode: str,
+    max_num_clicks: int = 20,
+    seed: int = 42,
+    log=print,
+    progress_every: int = 10,
+):
+    """Reference Evaluate() driver: sequential scenes, one CSV, then the
+    offline evaluator is run by the caller."""
+    rng = random.Random(seed)
+    with open(results_file, "w") as f:
+        for i in range(len(dataset)):
+            batch = collate_scenes([dataset[i]], engine.cfg.buckets)
+            rows = evaluate_scene(
+                engine, params, buffers, bn_state, batch, mode=mode,
+                instance_id=i, rng=rng, max_num_clicks=max_num_clicks)
+            f.write("\n".join(rows) + "\n")
+            if progress_every and i % progress_every == 0:
+                last = rows[-1].split(" ")
+                log(f"[{i + 1}/{len(dataset)}] {batch.scene_names[0]} "
+                    f"final IoU {float(last[4]):.4f}")
+    return results_file

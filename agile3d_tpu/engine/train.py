@@ -1,0 +1,222 @@
+"""Training engine: iterative-click training loop (reference engine.py:26-179).
+
+Per batch (reference structure preserved):
+  1. collate scenes; per sample draw a random object subset (1..10 objects)
+     and remap labels (engine.py:56-76);
+  2. run the backbone once and roll out a random number (0..19) of
+     simulated-click rounds without gradients (engine.py:82-115);
+  3. one supervised forward with gradients through BOTH the decoder and the
+     backbone (the reference keeps the backbone graph alive from step 1;
+     in JAX the loss closure recomputes the backbone forward — one extra
+     ~ms-scale forward on TPU), click-weighted CE + dice + aux losses,
+     global-norm clip 0.1, AdamW step (engine.py:118-152).
+"""
+
+from __future__ import annotations
+
+import functools
+import random as pyrandom
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from agile3d_tpu.config import Config
+from agile3d_tpu.data.datasets import SceneBatch, collate_scenes
+from agile3d_tpu.engine.clicks import HostClicks, simulate_clicks
+from agile3d_tpu.engine.eval import InteractiveEngine
+from agile3d_tpu.models.agile3d import ClickState, forward_backbone, forward_mask
+from agile3d_tpu.models.criterion import (
+    click_loss_weights,
+    criterion_forward,
+    loss_weight_dict,
+    total_loss,
+)
+from agile3d_tpu.utils.misc import MetricLogger
+
+
+def make_optimizer(cfg: Config, steps_per_epoch: int):
+    """AdamW + MultiStepLR(gamma=0.1 at lr_drop epochs) + global-norm clip
+    (reference main.py:125-127, engine.py:148-149)."""
+    boundaries = {
+        int(e) * steps_per_epoch: cfg.train.lr_drop_gamma
+        for e in cfg.train.lr_drop
+    }
+    schedule = optax.piecewise_constant_schedule(cfg.train.lr, boundaries)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.train.clip_max_norm),
+        optax.adamw(schedule, weight_decay=cfg.train.weight_decay),
+    )
+    return tx, schedule
+
+
+def make_train_step(cfg: Config, tx):
+    wd = loss_weight_dict(
+        cfg.loss, num_aux_rounds=cfg.model.num_decoders * len(cfg.model.hlevels) - 1)
+
+    @jax.jit
+    def train_step(params, buffers, bn_state, opt_state, pyr, feats, raw,
+                   sample_idx, clicks, labels, num_obj):
+        def loss_fn(p):
+            scene, new_bn = forward_backbone(
+                p, buffers, bn_state, pyr, feats, raw, sample_idx,
+                training=True, cfg=cfg.model)
+            out = forward_mask(p, buffers, scene, clicks, num_obj,
+                               cfg=cfg.model)
+            target = jnp.maximum(labels, 0)
+            vox_valid = scene.vox_valid & (labels >= 0)
+            weights = click_loss_weights(
+                scene.raw, vox_valid, clicks.vox, clicks.vox >= 0, cfg.loss)
+            losses = criterion_forward(out["all_masks"], target, weights,
+                                       vox_valid, cfg.loss)
+            tot = total_loss(losses, wd)
+            pred = jnp.argmax(out["pred_masks"], -1)
+            return tot, (losses, new_bn, pred, vox_valid)
+
+        (tot, (losses, new_bn, pred, vox_valid)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(params))
+        gnorm = optax.global_norm(grads)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        # training mIoU (reference engine.py:155-158)
+        miou = _batch_miou(pred, jnp.maximum(labels, 0), vox_valid, num_obj,
+                           cfg.model.max_fg_objects)
+        return new_params, new_bn, new_opt, tot, losses, gnorm, miou
+
+    return train_step
+
+
+def _batch_miou(pred, labels, valid, num_obj, max_obj):
+    """reference utils/seg.py:20-42 mean_iou over the batch."""
+    ious = []
+    for o in range(1, max_obj + 1):
+        p = (pred == o) & valid
+        g = (labels == o) & valid
+        inter = jnp.sum(p & g, axis=-1)
+        union = jnp.sum(p, -1) + jnp.sum(g, -1) - inter
+        ious.append(jnp.where(union > 0, inter / jnp.maximum(union, 1), 0.0))
+    ious = jnp.stack(ious, -1)                       # [B, max_obj]
+    present = jnp.arange(1, max_obj + 1)[None, :] <= num_obj[:, None]
+    per_sample = jnp.sum(jnp.where(present, ious, 0), -1) / jnp.maximum(
+        num_obj, 1)
+    return per_sample.mean()
+
+
+def subsample_objects(labels_row: np.ndarray, rng: np.random.Generator,
+                      max_obj: int = 10):
+    """Random object subset + label remap (reference engine.py:56-76);
+    labels_row uses -1 for pad slots."""
+    valid_ids = np.unique(labels_row)
+    valid_ids = valid_ids[(valid_ids != -1) & (valid_ids != 0)]
+    if len(valid_ids) == 0:
+        return np.where(labels_row >= 0, 0, -1).astype(np.int32), 0
+    k = rng.integers(1, min(max_obj, len(valid_ids)) + 1)
+    chosen = valid_ids[rng.permutation(len(valid_ids))[:k]]
+    out = np.where(labels_row >= 0, 0, -1).astype(np.int32)
+    for i, obj in enumerate(chosen):
+        out[labels_row == obj] = i + 1
+    return out, int(k)
+
+
+def rollout_clicks(engine: InteractiveEngine, params, buffers, scene,
+                   labels: np.ndarray, num_obj: np.ndarray,
+                   raw_per_sample: list, n_valid: list,
+                   rng: pyrandom.Random, cfg: Config):
+    """Pre-interactive sampling (reference engine.py:80-115): a random-length
+    no-gradient rollout that accumulates simulated clicks."""
+    b = labels.shape[0]
+    clicks = [HostClicks(cfg.model.max_clicks) for _ in range(b)]
+    num_iters = rng.randint(0, 19)
+    current = 0
+    while current <= num_iters:
+        if current == 0:
+            preds = [np.zeros(n_valid[i], np.int32) for i in range(b)]
+        else:
+            cs = ClickState(
+                vox=jnp.asarray(np.stack([c.vox for c in clicks])),
+                obj=jnp.asarray(np.stack([c.obj for c in clicks])),
+                time=jnp.asarray(np.stack([c.time for c in clicks])))
+            _, pred_dev = engine._mask(params, buffers, scene, cs,
+                                       jnp.asarray(num_obj))
+            pred_host = np.asarray(pred_dev)
+            preds = []
+            for i in range(b):
+                p = pred_host[i, : n_valid[i]].copy()
+                v = clicks[i].vox[: clicks[i].count]
+                p[v] = clicks[i].obj[: clicks[i].count]
+                preds.append(p)
+        for i in range(b):
+            new = simulate_clicks(
+                preds[i], labels[i, : n_valid[i]], raw_per_sample[i],
+                num_obj=int(num_obj[i]), training=True,
+                current_num_clicks=current, rng=rng,
+                max_label=cfg.model.max_fg_objects)
+            if new is not None:
+                clicks[i].extend(new)
+        current += 1
+    return clicks
+
+
+def train_one_epoch(engine, params, buffers, bn_state, opt_state, train_step,
+                    dataset, cfg: Config, epoch: int, *,
+                    np_rng: np.random.Generator, py_rng: pyrandom.Random,
+                    order: np.ndarray | None = None, log=print,
+                    print_freq: int = 10):
+    """One epoch over the dataset with batch assembly on host."""
+    logger = MetricLogger(log=log)
+    bs = cfg.train.batch_size
+    n = len(dataset)
+    if order is None:
+        order = np_rng.permutation(n)
+    batches = [order[i: i + bs] for i in range(0, n, bs)]
+
+    for batch_ids in logger.log_every(batches, print_freq,
+                                      f"Epoch: [{epoch}]"):
+        samples = [dataset[int(j)] for j in batch_ids]
+        batch = collate_scenes(samples, cfg.buckets)
+        b = len(samples)
+        n_valid = [int((batch.sample_idx[i] >= 0).sum()) for i in range(b)]
+
+        # 1. object subsets
+        labels_new = batch.labels.copy()
+        num_obj = np.zeros(b, np.int32)
+        for i in range(b):
+            labels_new[i], num_obj[i] = subsample_objects(
+                batch.labels[i], np_rng, cfg.model.max_fg_objects)
+
+        # 2. rollout (backbone in train mode: same normalization the
+        # supervised pass will use, reference engine.py:53 + :86)
+        scene, _ = engine.run_backbone(params, buffers, bn_state, batch,
+                                       training=True)
+        raw_per_sample = []
+        off = 0
+        for i in range(b):
+            raw_per_sample.append(batch.raw[off: off + n_valid[i]])
+            off += n_valid[i]
+        clicks = rollout_clicks(engine, params, buffers, scene, labels_new,
+                                num_obj, raw_per_sample, n_valid, py_rng, cfg)
+
+        # 3. supervised step
+        cs = ClickState(
+            vox=jnp.asarray(np.stack([c.vox for c in clicks])),
+            obj=jnp.asarray(np.stack([c.obj for c in clicks])),
+            time=jnp.asarray(np.stack([c.time for c in clicks])))
+        pyr_dev, feats_dev, raw_dev, si_dev = engine.device_batch(batch)
+        params, bn_state, opt_state, tot, losses, gnorm, miou = train_step(
+            params, buffers, bn_state, opt_state, pyr_dev, feats_dev,
+            raw_dev, si_dev, cs, jnp.asarray(labels_new),
+            jnp.asarray(num_obj))
+
+        tot = float(tot)
+        if not np.isfinite(tot):
+            raise FloatingPointError(
+                f"Loss is {tot}, stopping training "
+                f"(reference engine.py:139-142 guard)")
+        logger.update(loss=tot, grad_norm=float(gnorm), mIoU=float(miou),
+                      loss_bce=float(losses["loss_bce"]),
+                      loss_dice=float(losses["loss_dice"]))
+
+    log(f"Averaged stats: {logger}")
+    stats = {k: m.global_avg for k, m in logger.meters.items()}
+    return params, bn_state, opt_state, stats

@@ -26,13 +26,22 @@ def masked_gather(x: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.where((idx >= 0)[:, None], x[safe], 0)
 
 
+_UNROLL_MAX_K = 8  # unroll tiny kernels; scan larger ones (compile time)
+
+
 def sparse_conv(x: jax.Array, nbr: jax.Array, w: jax.Array,
                 bias: jax.Array | None = None,
-                valid: jax.Array | None = None) -> jax.Array:
+                valid: jax.Array | None = None,
+                unroll: bool | None = None) -> jax.Array:
     """Generalized sparse conv: out[m] = sum_k x[nbr[m, k]] @ w[k] (+ bias).
 
     Covers stride-1 kernel-3/5 convs (nbr = level.k3/k5, M == N) and the
     stride-2 kernel-2 down convs (nbr = level.down, M == N_coarse).
+
+    Large kernels (27/125 offsets) run as a lax.scan over offsets — one
+    gather+GEMM per step — keeping the HLO graph size constant per conv
+    (the 39-conv UNet would otherwise emit thousands of ops and multiply
+    XLA compile time); tiny kernels (<= 8) are unrolled for fusion.
 
     Args:
       x:    [N, C_in] input features (zero pad rows).
@@ -41,13 +50,26 @@ def sparse_conv(x: jax.Array, nbr: jax.Array, w: jax.Array,
       bias: optional [C_out].
       valid: optional [M] bool output-row mask (required if bias is not None
         to preserve the zero-padding invariant).
+      unroll: force unrolled (True) / scanned (False) offsets.
     """
     k = w.shape[0]
     out_dtype = jnp.promote_types(x.dtype, w.dtype)
-    acc = jnp.zeros((nbr.shape[0], w.shape[2]), dtype=out_dtype)
-    for j in range(k):
-        g = masked_gather(x, nbr[:, j])
-        acc = acc + jnp.dot(g, w[j], preferred_element_type=out_dtype)
+    if unroll is None:
+        unroll = k <= _UNROLL_MAX_K
+    if unroll:
+        acc = jnp.zeros((nbr.shape[0], w.shape[2]), dtype=out_dtype)
+        for j in range(k):
+            g = masked_gather(x, nbr[:, j])
+            acc = acc + jnp.dot(g, w[j], preferred_element_type=out_dtype)
+    else:
+        def body(acc, inp):
+            idx, wj = inp
+            g = masked_gather(x, idx)
+            return acc + jnp.dot(g, wj, preferred_element_type=out_dtype), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((nbr.shape[0], w.shape[2]), dtype=out_dtype),
+            (nbr.T, w))
     if bias is not None:
         assert valid is not None, "bias add requires a validity mask"
         acc = acc + bias[None, :]

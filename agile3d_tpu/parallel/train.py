@@ -1,0 +1,149 @@
+"""Data-parallel training over a device mesh.
+
+The upgrade over the reference, whose torch.distributed/NCCL path exists but
+is never initialized (SURVEY.md section 2 parallelism checklist): scenes are
+sharded over the mesh's ``dp`` axis. Each shard carries its own flat
+coordinate pyramid (scenes never mix across shards), the supervised step is
+vmapped over the shard axis, and XLA lowers the cross-shard loss/grad means
+to all-reduces over ICI.
+
+BatchNorm batch statistics stay shard-local (like torch DDP's non-synced
+BN); the running-stat updates are averaged across shards when persisted.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from agile3d_tpu.config import Config, bucket_size
+from agile3d_tpu.data.datasets import SceneSample
+from agile3d_tpu.models.agile3d import ClickState, forward_backbone, forward_mask
+from agile3d_tpu.models.criterion import (
+    click_loss_weights,
+    criterion_forward,
+    loss_weight_dict,
+    total_loss,
+)
+from agile3d_tpu.sparse import build_pyramid
+from agile3d_tpu.sparse.grid import pad_features, pad_pyramid
+from agile3d_tpu.sparse.kernel_maps import Pyramid
+
+
+class ShardedBatch:
+    """Per-dp-shard SceneBatch arrays stacked on a leading [D] axis with
+    identical padded shapes (each shard's scenes form their own flat
+    pyramid)."""
+
+    def __init__(self, pyramid, feats, raw, sample_idx, labels, num_obj):
+        self.pyramid = pyramid        # PaddedPyramid with [D, ...] leaves
+        self.feats = feats            # [D, N0, 3]
+        self.raw = raw                # [D, N0, 3]
+        self.sample_idx = sample_idx  # [D, b, Ns]
+        self.labels = labels          # [D, b, Ns]
+        self.num_obj = num_obj        # [D, b]
+
+
+def collate_sharded(sample_groups: list[list[SceneSample]],
+                    buckets) -> ShardedBatch:
+    """Collate one group of scenes per dp shard, padding every level to the
+    max bucket across shards so the stacked arrays are rectangular."""
+    pyrs: list[Pyramid] = []
+    for group in sample_groups:
+        counts = [len(s.vox_coords) for s in group]
+        vox = np.vstack([s.vox_coords for s in group])
+        batch_ids = np.repeat(np.arange(len(group), dtype=np.int32), counts)
+        pyrs.append(build_pyramid(vox, batch_ids))
+
+    n_levels = len(pyrs[0].levels)
+    sizes = [
+        bucket_size(max(p.levels[lv].num_voxels for p in pyrs), buckets)
+        for lv in range(n_levels)
+    ]
+    forced = tuple(sizes)  # same bucket list forces identical padded sizes
+    padded = [pad_pyramid(p, forced) for p in pyrs]
+    pyramid = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *padded)
+
+    n0 = sizes[0]
+    b = max(len(g) for g in sample_groups)
+    ns = bucket_size(max(len(s.vox_coords) for g in sample_groups for s in g),
+                     buckets)
+    feats, raw, sample_idx, labels, num_obj = [], [], [], [], []
+    for group in sample_groups:
+        feats.append(pad_features(
+            np.vstack([s.feats for s in group]).astype(np.float32), n0))
+        raw.append(pad_features(
+            np.vstack([s.raw_coords for s in group]).astype(np.float32), n0))
+        si = np.full((b, ns), -1, np.int32)
+        lb = np.full((b, ns), -1, np.int32)
+        off = 0
+        for i, s in enumerate(group):
+            c = len(s.vox_coords)
+            si[i, :c] = np.arange(off, off + c, dtype=np.int32)
+            lb[i, :c] = s.labels
+            off += c
+        sample_idx.append(si)
+        labels.append(lb)
+        num_obj.append(np.array(
+            [s.num_obj if isinstance(s.num_obj, int) else 1 for s in group]
+            + [0] * (b - len(group)), np.int32))
+
+    return ShardedBatch(pyramid, np.stack(feats), np.stack(raw),
+                        np.stack(sample_idx), np.stack(labels),
+                        np.stack(num_obj))
+
+
+def make_dp_train_step(cfg: Config, tx, mesh: Mesh):
+    """Returns (train_step, shard_fn) where shard_fn places a ShardedBatch's
+    arrays on the mesh ('dp' on the leading axis) and train_step runs one
+    synchronized update."""
+    wd = loss_weight_dict(
+        cfg.loss,
+        num_aux_rounds=cfg.model.num_decoders * len(cfg.model.hlevels) - 1)
+    dp_spec = NamedSharding(mesh, P("dp"))
+    rep_spec = NamedSharding(mesh, P())
+
+    def shard_loss(p, buffers, bn_state, pyr, feats, raw, sample_idx,
+                   clicks, labels, num_obj):
+        scene, new_bn = forward_backbone(p, buffers, bn_state, pyr, feats,
+                                         raw, sample_idx, training=True,
+                                         cfg=cfg.model)
+        out = forward_mask(p, buffers, scene, clicks, num_obj, cfg=cfg.model)
+        target = jnp.maximum(labels, 0)
+        vox_valid = scene.vox_valid & (labels >= 0)
+        weights = click_loss_weights(scene.raw, vox_valid, clicks.vox,
+                                     clicks.vox >= 0, cfg.loss)
+        losses = criterion_forward(out["all_masks"], target, weights,
+                                   vox_valid, cfg.loss)
+        return total_loss(losses, wd), (losses, new_bn)
+
+    def loss_fn(p, buffers, bn_state, batch_args):
+        per_shard = jax.vmap(
+            lambda *a: shard_loss(p, buffers, bn_state, *a))(*batch_args)
+        tot, (losses, new_bn) = per_shard
+        mean_losses = jax.tree_util.tree_map(jnp.mean, losses)
+        mean_bn = jax.tree_util.tree_map(lambda x: x.mean(0), new_bn)
+        return jnp.mean(tot), (mean_losses, mean_bn)
+
+    @jax.jit
+    def train_step(params, buffers, bn_state, opt_state, pyr, feats, raw,
+                   sample_idx, clicks, labels, num_obj):
+        batch_args = (pyr, feats, raw, sample_idx, clicks, labels, num_obj)
+        (tot, (losses, new_bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, buffers, bn_state, batch_args)
+        gnorm = optax.global_norm(grads)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        return new_params, new_bn, new_opt, tot, losses, gnorm
+
+    def shard_fn(batch: ShardedBatch, clicks: ClickState):
+        place = lambda tree: jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), dp_spec), tree)
+        return (place(batch.pyramid), place(batch.feats), place(batch.raw),
+                place(batch.sample_idx), place(clicks), place(batch.labels),
+                place(batch.num_obj))
+
+    return train_step, shard_fn, rep_spec

@@ -125,25 +125,40 @@ def build_pyramid(
       num_levels: pyramid depth (5 for Res16UNet: strides 1,2,4,8,16).
       stem_kernel: kernel size of the stem conv (5 in the canonical config).
     """
+    from agile3d_tpu.sparse.native import (
+        native_neighbor_map,
+        native_stride_down,
+    )
+
     grid = np.ascontiguousarray(voxel_coords, dtype=np.int32)
     if batch is None:
         batch = np.zeros(grid.shape[0], dtype=np.int32)
     batch = batch.astype(np.int32)
 
     levels: list[LevelMaps] = []
-    off2 = KERNEL_OFFSETS_CACHE[2]
-    # Precompute bit weights turning (g mod 2) into the kernel-2 element index,
+    # Bit weights turning (g mod 2) into the kernel-2 element index,
     # consistent with kernel_offsets(2) enumeration order.
     k2_weight = np.array([4, 2, 1], dtype=np.int32)  # product order: x slowest
 
+    def nbr_map(grid, batch, offsets, keys_sorted, order):
+        out = native_neighbor_map(grid, batch, offsets)
+        if out is not None:
+            return out
+        return _neighbor_map(grid, batch, keys_sorted, order, offsets)
+
+    use_native = native_neighbor_map(np.zeros((1, 3), np.int32),
+                                     np.zeros(1, np.int32),
+                                     np.zeros((1, 3), np.int32)) is not None
+
     for lvl in range(num_levels):
-        keys_sorted, order = _sorted_index(grid, batch)
-        k3 = _neighbor_map(grid, batch, keys_sorted, order, KERNEL_OFFSETS_CACHE[3])
+        keys_sorted = order = None
+        if not use_native:
+            keys_sorted, order = _sorted_index(grid, batch)
+        k3 = nbr_map(grid, batch, KERNEL_OFFSETS_CACHE[3], keys_sorted, order)
         k5 = None
         if lvl == 0 and stem_kernel != 3:
-            k5 = _neighbor_map(
-                grid, batch, keys_sorted, order, KERNEL_OFFSETS_CACHE[stem_kernel]
-            )
+            k5 = nbr_map(grid, batch, KERNEL_OFFSETS_CACHE[stem_kernel],
+                         keys_sorted, order)
         levels.append(
             LevelMaps(grid=grid, batch=batch, k3=k3, k5=k5,
                       down=None, up_parent=None, up_offset=None)
@@ -152,25 +167,32 @@ def build_pyramid(
             break
 
         # --- stride to the next level ---
-        coarse_of_fine = grid >> 1  # floor(g/2), grid is int32 (floor for negatives)
-        ckeys = pack_coords(coarse_of_fine, batch)
-        _, first_idx, inv_sorted = np.unique(ckeys, return_index=True, return_inverse=True)
-        corder = np.argsort(first_idx, kind="stable")
-        rank = np.empty_like(corder)
-        rank[corder] = np.arange(corder.size)
-        coarse_grid = coarse_of_fine[first_idx[corder]]
-        coarse_batch = batch[first_idx[corder]]
-        parent = rank[inv_sorted].astype(np.int32)          # fine -> coarse row
+        native = native_stride_down(grid, batch)
+        if native is not None:
+            coarse_grid, coarse_batch, parent, child_offset, down = native
+        else:
+            coarse_of_fine = grid >> 1  # floor(g/2) incl. negatives
+            ckeys = pack_coords(coarse_of_fine, batch)
+            _, first_idx, inv_sorted = np.unique(
+                ckeys, return_index=True, return_inverse=True)
+            corder = np.argsort(first_idx, kind="stable")
+            rank = np.empty_like(corder)
+            rank[corder] = np.arange(corder.size)
+            coarse_grid = coarse_of_fine[first_idx[corder]]
+            coarse_batch = batch[first_idx[corder]]
+            parent = rank[inv_sorted].astype(np.int32)      # fine -> coarse row
 
-        # down map: coarse j gathers fine voxels at 2*g_j + {0,1}^3
-        n_coarse = coarse_grid.shape[0]
-        down = np.full((n_coarse, 8), -1, dtype=np.int32)
-        child_offset = ((grid & 1) * k2_weight[None, :]).sum(axis=1)
-        down[parent, child_offset] = np.arange(grid.shape[0], dtype=np.int32)
+            # down map: coarse j gathers fine voxels at 2*g_j + {0,1}^3
+            n_coarse = coarse_grid.shape[0]
+            down = np.full((n_coarse, 8), -1, dtype=np.int32)
+            child_offset = ((grid & 1) * k2_weight[None, :]).sum(axis=1)
+            down[parent, child_offset] = np.arange(grid.shape[0],
+                                                   dtype=np.int32)
+            child_offset = child_offset.astype(np.int32)
 
         levels[-1].down = down
         levels[-1].up_parent = parent
-        levels[-1].up_offset = child_offset.astype(np.int32)
+        levels[-1].up_offset = child_offset
 
         grid, batch = coarse_grid, coarse_batch
 

@@ -50,6 +50,12 @@ def sparse_quantize(
       ``inverse_map[i]`` is the voxel row of point i. Voxels are ordered by
       first occurrence in point order.
     """
+    from agile3d_tpu.sparse.native import native_quantize
+
+    res = native_quantize(np.asarray(coords, np.float32), quantization_size)
+    if res is not None:
+        return res
+
     vox = np.floor(coords / quantization_size).astype(np.int32)
     keys = pack_coords(vox)
     _, first_idx, inv_sorted = np.unique(keys, return_index=True, return_inverse=True)

@@ -1,0 +1,85 @@
+"""Console metric logging (replaces reference utils/misc.py:33-252
+MetricLogger/SmoothedValue; the NCCL helpers it also carried are superseded
+by jax collectives in parallel/)."""
+
+from __future__ import annotations
+
+import datetime
+import time
+from collections import defaultdict, deque
+
+
+class SmoothedValue:
+    """Track a series with a moving window and global average."""
+
+    def __init__(self, window_size: int = 20, fmt: str = "{median:.4f} ({global_avg:.4f})"):
+        self.deque = deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+        self.fmt = fmt
+
+    def update(self, value, n: int = 1):
+        self.deque.append(float(value))
+        self.count += n
+        self.total += float(value) * n
+
+    @property
+    def median(self):
+        d = sorted(self.deque)
+        return d[len(d) // 2] if d else 0.0
+
+    @property
+    def avg(self):
+        return sum(self.deque) / len(self.deque) if self.deque else 0.0
+
+    @property
+    def global_avg(self):
+        return self.total / max(self.count, 1)
+
+    @property
+    def value(self):
+        return self.deque[-1] if self.deque else 0.0
+
+    def __str__(self):
+        return self.fmt.format(median=self.median, avg=self.avg,
+                               global_avg=self.global_avg, value=self.value)
+
+
+class MetricLogger:
+    def __init__(self, delimiter: str = "  ", log=print):
+        self.meters = defaultdict(SmoothedValue)
+        self.delimiter = delimiter
+        self.log = log
+
+    def update(self, **kwargs):
+        for k, v in kwargs.items():
+            self.meters[k].update(float(v))
+
+    def __getattr__(self, attr):
+        if attr in self.meters:
+            return self.meters[attr]
+        raise AttributeError(attr)
+
+    def __str__(self):
+        return self.delimiter.join(
+            f"{name}: {meter}" for name, meter in self.meters.items())
+
+    def log_every(self, iterable, print_freq: int, header: str = ""):
+        start = time.time()
+        iter_time = SmoothedValue(fmt="{avg:.4f}")
+        total = len(iterable) if hasattr(iterable, "__len__") else None
+        end = time.time()
+        for i, obj in enumerate(iterable):
+            yield obj
+            iter_time.update(time.time() - end)
+            if i % print_freq == 0 or (total and i == total - 1):
+                if total:
+                    eta = datetime.timedelta(
+                        seconds=int(iter_time.global_avg * (total - i - 1)))
+                    self.log(f"{header} [{i}/{total}] eta: {eta} "
+                             f"{self} time: {iter_time}")
+                else:
+                    self.log(f"{header} [{i}] {self} time: {iter_time}")
+            end = time.time()
+        elapsed = datetime.timedelta(seconds=int(time.time() - start))
+        self.log(f"{header} Total time: {elapsed}")

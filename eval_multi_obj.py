@@ -1,0 +1,71 @@
+"""Interactive multi-object 3D segmentation benchmark eval CLI.
+
+TPU-native counterpart of the reference eval_multi_obj.py (reference
+eval_multi_obj.py:28-213): loads a checkpoint (reference .pth or orbax),
+runs the 20-clicks-per-object rollout over the validation list, writes the
+per-round IoU CSV, and reports NoC@tau / IoU@k through EvaluatorMO.
+"""
+
+import argparse
+import os
+import random
+from pathlib import Path
+
+import numpy as np
+
+from agile3d_tpu.config import Config, ModelConfig, TrainConfig
+from agile3d_tpu.data.datasets import build_dataset
+from agile3d_tpu.engine.eval import InteractiveEngine, evaluate_dataset
+from agile3d_tpu.evaluation import EvaluatorMO
+from agile3d_tpu.utils.ckpt import load_model_weights
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("Evaluation", add_help=False)
+    p.add_argument("--dataset_mode", default="multi_obj")
+    p.add_argument("--scan_folder", required=True, type=str)
+    p.add_argument("--val_list", required=True, type=str)
+    p.add_argument("--voxel_size", default=0.05, type=float)
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--output_dir", default="results", type=str)
+    p.add_argument("--checkpoint", default="checkpoints/checkpoint1099.pth")
+    p.add_argument("--max_num_clicks", default=20, type=int)
+    p.add_argument("--max_clicks_budget", default=256, type=int,
+                   help="static click-table capacity (padded)")
+    return p
+
+
+def main(args):
+    np.random.seed(args.seed)
+    random.seed(args.seed)
+
+    cfg = Config(model=ModelConfig(voxel_size=args.voxel_size,
+                                   max_clicks=args.max_clicks_budget),
+                 train=TrainConfig(seed=args.seed,
+                                   max_num_clicks=args.max_num_clicks))
+    params, buffers, bn_state = load_model_weights(args.checkpoint, cfg.model)
+
+    dataset = build_dataset("val", "multi_obj", scan_folder=args.scan_folder,
+                            scene_list=args.val_list,
+                            voxel_size=args.voxel_size)
+
+    Path(args.output_dir).mkdir(parents=True, exist_ok=True)
+    results_file = os.path.join(args.output_dir, "val_results_multi.csv")
+
+    engine = InteractiveEngine(cfg)
+    evaluate_dataset(engine, params, buffers, bn_state, dataset, results_file,
+                     mode="multi", max_num_clicks=args.max_num_clicks,
+                     seed=args.seed)
+
+    evaluator = EvaluatorMO(args.val_list, results_file,
+                            [0.5, 0.65, 0.8, 0.85, 0.9])
+    results = evaluator.eval_results()
+    print(results)
+    return results
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        "Evaluation script for interactive multi-object segmentation",
+        parents=[get_args_parser()])
+    main(parser.parse_args())

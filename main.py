@@ -1,0 +1,190 @@
+"""Multi-object iterative-click training CLI.
+
+TPU-native counterpart of the reference main.py (reference main.py:24-258):
+builds the model/criterion/datasets/AdamW+MultiStepLR, runs the epoch loop
+with per-epoch checkpointing (orbax; archival copies every 20 epochs and
+before LR drops), periodic interactive validation with NoC/IoU metrics, and
+optional wandb logging (no-op when wandb is unavailable).
+"""
+
+import argparse
+import datetime
+import os
+import random
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+
+from agile3d_tpu.config import (
+    Config, LossConfig, ModelConfig, TrainConfig)
+from agile3d_tpu.data.datasets import build_dataset
+from agile3d_tpu.engine.eval import InteractiveEngine, evaluate_dataset
+from agile3d_tpu.engine.train import (
+    make_optimizer, make_train_step, train_one_epoch)
+from agile3d_tpu.evaluation import EvaluatorMO
+from agile3d_tpu.models.agile3d import init_agile3d
+from agile3d_tpu.utils.ckpt import (
+    load_checkpoint, load_model_weights, save_checkpoint)
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("AGILE3D", add_help=False)
+    # dataset
+    p.add_argument("--dataset_mode", default="multi_obj")
+    p.add_argument("--scan_folder", default="data/ScanNet/scans", type=str)
+    p.add_argument("--train_list", default="data/ScanNet/train_list.json")
+    p.add_argument("--val_list", default="data/ScanNet/val_list.json")
+    # model
+    p.add_argument("--voxel_size", default=0.05, type=float)
+    p.add_argument("--hidden_dim", default=128, type=int)
+    p.add_argument("--dim_feedforward", default=1024, type=int)
+    p.add_argument("--num_heads", default=8, type=int)
+    p.add_argument("--num_decoders", default=3, type=int)
+    p.add_argument("--num_bg_queries", default=10, type=int)
+    p.add_argument("--dropout", default=0.0, type=float)
+    p.add_argument("--pre_norm", default=False, type=bool)
+    p.add_argument("--positional_encoding_type", default="fourier")
+    p.add_argument("--gauss_scale", default=1.0, type=float)
+    p.add_argument("--shared_decoder", default=False, type=bool)
+    p.add_argument("--aux", default=True, type=bool)
+    # loss
+    p.add_argument("--bce_loss_coef", default=1.0, type=float)
+    p.add_argument("--dice_loss_coef", default=2.0, type=float)
+    # training
+    p.add_argument("--lr", default=1e-4, type=float)
+    p.add_argument("--weight_decay", default=1e-4, type=float)
+    p.add_argument("--lr_drop", default=[1000], type=int, nargs="+")
+    p.add_argument("--epochs", default=1100, type=int)
+    p.add_argument("--val_epochs", default=50, type=int)
+    p.add_argument("--batch_size", default=5, type=int)
+    p.add_argument("--clip_max_norm", default=0.1, type=float)
+    p.add_argument("--seed", default=42, type=int)
+    p.add_argument("--output_dir", default="output")
+    p.add_argument("--start_epoch", default=0, type=int)
+    p.add_argument("--resume", default="", help="resume from checkpoint")
+    p.add_argument("--max_num_clicks", default=20, type=int)
+    p.add_argument("--job_name", default="test", type=str)
+    return p
+
+
+def build_config(args) -> Config:
+    return Config(
+        model=ModelConfig(
+            hidden_dim=args.hidden_dim, dim_feedforward=args.dim_feedforward,
+            num_heads=args.num_heads, num_decoders=args.num_decoders,
+            num_bg_queries=args.num_bg_queries, dropout=args.dropout,
+            pre_norm=args.pre_norm,
+            positional_encoding_type=args.positional_encoding_type,
+            gauss_scale=args.gauss_scale, shared_decoder=args.shared_decoder,
+            aux=args.aux, voxel_size=args.voxel_size),
+        loss=LossConfig(bce_loss_coef=args.bce_loss_coef,
+                        dice_loss_coef=args.dice_loss_coef, aux=args.aux),
+        train=TrainConfig(
+            lr=args.lr, weight_decay=args.weight_decay,
+            lr_drop=tuple(args.lr_drop), epochs=args.epochs,
+            val_epochs=args.val_epochs, batch_size=args.batch_size,
+            clip_max_norm=args.clip_max_norm, seed=args.seed,
+            max_num_clicks=args.max_num_clicks))
+
+
+def _wandb():
+    try:
+        import wandb
+        return wandb
+    except ImportError:
+        class _Noop:
+            def init(self, *a, **k): pass
+            def log(self, *a, **k): pass
+        return _Noop()
+
+
+def main(args):
+    wandb = _wandb()
+    wandb.init(project="AGILE3D")
+
+    cfg = build_config(args)
+    seed = args.seed + jax.process_index()
+    np.random.seed(seed)
+    random.seed(seed)
+    np_rng = np.random.default_rng(seed)
+    py_rng = random.Random(seed)
+
+    params, buffers, bn_state = init_agile3d(jax.random.PRNGKey(seed),
+                                             cfg.model)
+    n_params = sum(int(np.prod(np.shape(x)))
+                   for x in jax.tree_util.tree_leaves(params))
+    print("number of params:", n_params)
+
+    dataset_train = build_dataset("train", args.dataset_mode,
+                                  scan_folder=args.scan_folder,
+                                  scene_list=args.train_list,
+                                  voxel_size=args.voxel_size, seed=seed)
+    dataset_val = build_dataset("val", args.dataset_mode,
+                                scan_folder=args.scan_folder,
+                                scene_list=args.val_list,
+                                voxel_size=args.voxel_size)
+
+    steps_per_epoch = max(1, len(dataset_train) // cfg.train.batch_size)
+    tx, _ = make_optimizer(cfg, steps_per_epoch)
+    opt_state = tx.init(params)
+    train_step = make_train_step(cfg, tx)
+    engine = InteractiveEngine(cfg)
+
+    output_dir = Path(args.output_dir)
+    val_dir = output_dir / "valResults"
+    val_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.resume:
+        if args.resume.endswith(".pth"):
+            params, buffers, bn_state = load_model_weights(
+                args.resume, cfg.model)
+        else:
+            restored = load_checkpoint(args.resume, {
+                "params": params, "buffers": buffers, "bn_state": bn_state,
+                "opt_state": opt_state, "epoch": np.asarray(0)})
+            params, buffers = restored["params"], restored["buffers"]
+            bn_state, opt_state = restored["bn_state"], restored["opt_state"]
+            args.start_epoch = int(restored["epoch"]) + 1
+
+    print("Start training")
+    start_time = time.time()
+    for epoch in range(args.start_epoch, args.epochs):
+        params, bn_state, opt_state, stats = train_one_epoch(
+            engine, params, buffers, bn_state, opt_state, train_step,
+            dataset_train, cfg, epoch, np_rng=np_rng, py_rng=py_rng)
+        wandb.log({"train/epoch": epoch, "train/loss_epoch": stats["loss"],
+                   "train/mIoU_epoch": stats["mIoU"]})
+
+        if jax.process_index() == 0:
+            paths = [output_dir / "checkpoint"]
+            if (epoch + 1) in args.lr_drop or (epoch + 1) % 20 == 0:
+                paths.append(output_dir / f"checkpoint{epoch:04d}")
+            for path in paths:
+                save_checkpoint(str(path.absolute()), params, buffers,
+                                bn_state, opt_state, epoch)
+
+        if (epoch + 1) % args.val_epochs == 0:
+            csv = str(val_dir / f"val_results_epoch_{epoch}.csv")
+            evaluate_dataset(engine, params, buffers, bn_state, dataset_val,
+                             csv, mode="multi",
+                             max_num_clicks=args.max_num_clicks,
+                             seed=args.seed)
+            res = EvaluatorMO(args.val_list, csv,
+                              [0.5, 0.65, 0.8, 0.85, 0.9]).eval_results()
+            print(res)
+            wandb.log({f"val_metrics/{k.replace('@', '_')}": v
+                       for k, v in res.items()})
+
+    total = str(datetime.timedelta(seconds=int(time.time() - start_time)))
+    print(f"Training time {total}")
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser("AGILE3D training script",
+                                     parents=[get_args_parser()])
+    args = parser.parse_args()
+    run_id = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+    args.output_dir = os.path.join(args.output_dir, run_id)
+    main(args)
