@@ -25,6 +25,11 @@ class BackboneConfig:
     conv1_kernel_size: int = 5          # main.py:37
     bn_momentum: float = 0.02           # main.py:38
     dilations: Sequence[int] = (1, 1, 1, 1)
+    block: str = "basic"                # 'basic' | 'bottleneck'
+
+    @property
+    def expansion(self) -> int:
+        return 4 if self.block == "bottleneck" else 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +58,9 @@ class ModelConfig:
     time_table_len: int = 256           # >= max_clicks (reference table is 200,
                                         # position_embedding.py:210; sized up so the
                                         # padded click budget can never index OOB)
+    xla_attn_chunk: int = 8192          # scan voxel-axis attention in chunks
+                                        # when N >= 2*chunk (0 disables);
+                                        # bounds XLA-path HBM at large N
 
     @property
     def max_queries(self) -> int:

@@ -31,10 +31,17 @@ from agile3d_tpu.models.agile3d import ClickState, forward_backbone, forward_mas
 
 class InteractiveEngine:
     """Holds jitted model entry points (weights are donated per call so the
-    same engine serves training checkpoints as they evolve)."""
+    same engine serves training checkpoints as they evolve).
 
-    def __init__(self, cfg: Config):
+    decoder_impl: 'auto' (Pallas fused kernels on TPU, XLA elsewhere),
+    'pallas', or 'xla'.
+    """
+
+    def __init__(self, cfg: Config, decoder_impl: str = "auto"):
         self.cfg = cfg
+        if decoder_impl == "auto":
+            decoder_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        self.decoder_impl = decoder_impl
 
         @functools.partial(jax.jit, static_argnames=("training",))
         def _backbone(params, buffers, bn_state, pyr, feats, raw, sample_idx,
@@ -45,8 +52,15 @@ class InteractiveEngine:
 
         @jax.jit
         def _mask(params, buffers, scene, clicks, num_obj):
-            out = forward_mask(params, buffers, scene, clicks, num_obj,
-                               cfg=cfg.model)
+            if self.decoder_impl == "pallas":
+                from agile3d_tpu.models.agile3d_pallas import (
+                    forward_mask_pallas)
+
+                out = forward_mask_pallas(params, buffers, scene, clicks,
+                                          num_obj, cfg=cfg.model)
+            else:
+                out = forward_mask(params, buffers, scene, clicks, num_obj,
+                                   cfg=cfg.model)
             pred = jnp.argmax(out["pred_masks"], axis=-1).astype(jnp.int32)
             return out, pred
 

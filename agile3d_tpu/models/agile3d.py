@@ -281,13 +281,17 @@ def forward_mask(
 
     src = scene.mask_feat
     round_bias = jnp.zeros((b, queries.shape[1], n))
+    # memory-lean scanned attention once the voxel axis dwarfs the chunk
+    chunk = cfg.xla_attn_chunk if (
+        cfg.xla_attn_chunk and n >= 2 * cfg.xla_attn_chunk
+        and n % cfg.xla_attn_chunk == 0) else 0
     preds = []
     for r in range(cfg.num_decoders):
         dp = params["decoders"][0 if cfg.shared_decoder else r]
         queries = cross_attention_layer(
             dp["c2s"], queries, src, heads, pos=scene.pos_pcd,
             query_pos=query_pos, attn_bias=round_bias + vox_key_bias,
-            pre_norm=cfg.pre_norm)
+            pre_norm=cfg.pre_norm, chunk_keys=chunk)
         queries = self_attention_layer(
             dp["c2c"], queries, heads, query_pos=query_pos,
             attn_bias=q_key_bias, pre_norm=cfg.pre_norm)
@@ -296,7 +300,7 @@ def forward_mask(
             dp["s2c"], src, queries, heads, pos=query_pos,
             query_pos=scene.pos_pcd,
             attn_bias=jnp.broadcast_to(q_key_bias, (b, n, queries.shape[1])),
-            pre_norm=cfg.pre_norm)
+            pre_norm=cfg.pre_norm, chunk_queries=chunk)
         masks, round_bias = _mask_module(
             params, queries, src, query_obj, query_valid, col_valid,
             scene.vox_valid)

@@ -47,7 +47,8 @@ def _conv_init(key, k_vol: int, cin: int, cout: int, fan: int | None = None):
 
 def _init_basic_block(key, cin: int, planes: int):
     """BasicBlock: conv k3 -> BN -> relu -> conv k3 -> BN (+ 1x1 downsample
-    when cin != planes) -> add residual -> relu."""
+    when cin != planes) -> add residual -> relu
+    (reference resnet_block.py:7-64)."""
     ks = jax.random.split(key, 3)
     p = {
         "conv1": {"w": _conv_init(ks[0], 27, cin, planes)},
@@ -62,18 +63,97 @@ def _init_basic_block(key, cin: int, planes: int):
     return p, s
 
 
-def _init_stage(key, cin: int, planes: int, num_blocks: int):
+def _init_bottleneck_block(key, cin: int, planes: int):
+    """Bottleneck (expansion 4): 1x1 -> k3 -> 1x1 with BNs
+    (reference resnet_block.py:79-137)."""
+    ks = jax.random.split(key, 4)
+    out = planes * 4
+    p = {
+        "conv1": {"w": _conv_init(ks[0], 1, cin, planes)},
+        "conv2": {"w": _conv_init(ks[1], 27, planes, planes)},
+        "conv3": {"w": _conv_init(ks[2], 1, planes, out)},
+    }
+    s = {}
+    p["norm1"], s["norm1"] = init_bn(planes)
+    p["norm2"], s["norm2"] = init_bn(planes)
+    p["norm3"], s["norm3"] = init_bn(out)
+    if cin != out:
+        p["downsample"] = {"conv": {"w": _conv_init(ks[3], 1, cin, out)}}
+        p["downsample"]["norm"], s["downsample_norm"] = init_bn(out)
+    return p, s
+
+
+def _init_stage(key, cin: int, planes: int, num_blocks: int,
+                block: str = "basic"):
+    init_fn = (_init_bottleneck_block if block == "bottleneck"
+               else _init_basic_block)
+    expansion = 4 if block == "bottleneck" else 1
     ks = jax.random.split(key, num_blocks)
     blocks_p, blocks_s = [], []
     for i in range(num_blocks):
-        bp, bs = _init_basic_block(ks[i], cin if i == 0 else planes, planes)
+        bp, bs = init_fn(ks[i], cin if i == 0 else planes * expansion, planes)
         blocks_p.append(bp)
         blocks_s.append(bs)
     return blocks_p, blocks_s
 
 
+# ---------------------------------------------------------------------------
+# Model-family registry: the reference's Res16UNet variants differ only in
+# (BLOCK, LAYERS, PLANES) class attributes (reference res16unet.py:298-423).
+# Express each as a BackboneConfig preset; `block` selects BasicBlock or
+# Bottleneck (reference models/modules/resnet_block.py:7-149).
+# ---------------------------------------------------------------------------
+
+import dataclasses as _dc
+
+
+def _variant(layers, planes, block="basic"):
+    return BackboneConfig(layers=tuple(layers), planes=tuple(planes),
+                          block=block)
+
+
+_L14 = (1, 1, 1, 1, 1, 1, 1, 1)
+_L18 = (2, 2, 2, 2, 2, 2, 2, 2)
+_L34 = (2, 3, 4, 6, 2, 2, 2, 2)
+_P_BASE = (32, 64, 128, 256, 256, 256, 256, 256)
+
+BACKBONE_VARIANTS = {
+    "Res16UNet14": _variant(_L14, _P_BASE),
+    "Res16UNet18": _variant(_L18, _P_BASE),
+    "Res16UNet34": _variant(_L34, _P_BASE),
+    "Res16UNet50": _variant(_L34, _P_BASE, block="bottleneck"),
+    "Res16UNet101": _variant((2, 3, 4, 23, 2, 2, 2, 2), _P_BASE,
+                             block="bottleneck"),
+    "Res16UNet14A": _variant(_L14, (32, 64, 128, 256, 128, 128, 96, 96)),
+    "Res16UNet14A2": _variant((1, 1, 1, 1, 2, 2, 2, 2),
+                              (32, 64, 128, 256, 128, 128, 96, 96)),
+    "Res16UNet14B": _variant(_L14, (32, 64, 128, 256, 128, 128, 128, 128)),
+    "Res16UNet14B2": _variant((1, 1, 1, 1, 2, 2, 2, 2),
+                              (32, 64, 128, 256, 128, 128, 128, 128)),
+    "Res16UNet14B3": _variant((2, 2, 2, 2, 1, 1, 1, 1),
+                              (32, 64, 128, 256, 128, 128, 128, 128)),
+    "Res16UNet14C": _variant(_L14, (32, 64, 128, 256, 192, 192, 128, 128)),
+    "Res16UNet14D": _variant(_L14, (32, 64, 128, 256, 384, 384, 384, 384)),
+    "Res16UNet18A": _variant(_L18, (32, 64, 128, 256, 128, 128, 96, 96)),
+    "Res16UNet18B": _variant(_L18, (32, 64, 128, 256, 128, 128, 128, 128)),
+    "Res16UNet18D": _variant(_L18, (32, 64, 128, 256, 384, 384, 384, 384)),
+    "Res16UNet34A": _variant(_L34, (32, 64, 128, 256, 256, 128, 64, 64)),
+    "Res16UNet34B": _variant(_L34, (32, 64, 128, 256, 256, 128, 64, 32)),
+    "Res16UNet34C": _variant(_L34, (32, 64, 128, 256, 256, 128, 96, 96)),
+    "Res16UNet34D": _variant(_L34, (32, 64, 128, 256, 256, 128, 96, 128)),
+    "Custom30M": _variant(_L34, (32, 64, 128, 256, 128, 64, 64, 32)),
+}
+
+
+def backbone_config(name: str) -> BackboneConfig:
+    """Canonical variant lookup; the flagship is Res16UNet34C (reference
+    models/backbone.py:5-7)."""
+    return BACKBONE_VARIANTS[name]
+
+
 def init_backbone(key, cfg: BackboneConfig = BackboneConfig()):
     planes, layers, d0 = cfg.planes, cfg.layers, cfg.init_dim
+    exp = cfg.expansion
     kvol_stem = cfg.conv1_kernel_size ** 3
     ks = iter(jax.random.split(key, 32))
     p, s = {}, {}
@@ -87,22 +167,24 @@ def init_backbone(key, cfg: BackboneConfig = BackboneConfig()):
         p[f"conv{i+1}"] = {"w": _conv_init(next(ks), 8, down_in, down_in)}
         p[f"bn{i+1}"], s[f"bn{i+1}"] = init_bn(down_in)
         p[f"block{i+1}"], s[f"block{i+1}"] = _init_stage(
-            next(ks), down_in, planes[i], layers[i]
+            next(ks), down_in, planes[i], layers[i], cfg.block
         )
-        down_in = planes[i]
+        down_in = planes[i] * exp
 
     # up path: convtr{4..7} + block{5..8}; skip channels from the down path
-    skips = [planes[2], planes[1], planes[0], d0]
-    tr_in = planes[3]
+    # carry the block expansion exactly as the reference's inplanes updates
+    # (reference res16unet.py:140,163,186,209)
+    skips = [planes[2] * exp, planes[1] * exp, planes[0] * exp, d0]
+    tr_in = planes[3] * exp
     for j in range(4):
         i = 4 + j
         p[f"convtr{i}"] = {"w": _conv_init(next(ks), 8, tr_in, planes[i])}
         p[f"bntr{i}"], s[f"bntr{i}"] = init_bn(planes[i])
         cat_ch = planes[i] + skips[j]
         p[f"block{i+1}"], s[f"block{i+1}"] = _init_stage(
-            next(ks), cat_ch, planes[i], layers[i]
+            next(ks), cat_ch, planes[i], layers[i], cfg.block
         )
-        tr_in = planes[i]
+        tr_in = planes[i] * exp
 
     return p, s
 
@@ -112,15 +194,23 @@ def init_backbone(key, cfg: BackboneConfig = BackboneConfig()):
 # ---------------------------------------------------------------------------
 
 
-def _basic_block(p, s, x, k3, valid, *, training: bool, momentum: float):
+def _residual_block(p, s, x, k3, valid, *, training: bool, momentum: float):
+    """BasicBlock or Bottleneck, distinguished by the presence of conv3."""
     s_new = {}
-    out = sparse_conv(x, k3, p["conv1"]["w"])
-    out, s_new["norm1"] = batch_norm(out, valid, p["norm1"], s["norm1"],
-                                     training=training, momentum=momentum)
-    out = jax.nn.relu(out)
-    out = sparse_conv(out, k3, p["conv2"]["w"])
-    out, s_new["norm2"] = batch_norm(out, valid, p["norm2"], s["norm2"],
-                                     training=training, momentum=momentum)
+
+    def bn(name, y):
+        out, s_new[name] = batch_norm(y, valid, p[name], s[name],
+                                      training=training, momentum=momentum)
+        return out
+
+    if "conv3" in p:  # bottleneck (reference resnet_block.py:117-137)
+        out = jax.nn.relu(bn("norm1", linear(x, p["conv1"]["w"])))
+        out = jax.nn.relu(bn("norm2", sparse_conv(out, k3, p["conv2"]["w"])))
+        out = bn("norm3", linear(out, p["conv3"]["w"]))
+    else:             # basic block (reference resnet_block.py:48-64)
+        out = jax.nn.relu(bn("norm1", sparse_conv(x, k3, p["conv1"]["w"])))
+        out = bn("norm2", sparse_conv(out, k3, p["conv2"]["w"]))
+
     if "downsample" in p:
         residual = linear(x, p["downsample"]["conv"]["w"])
         residual, s_new["downsample_norm"] = batch_norm(
@@ -134,8 +224,8 @@ def _basic_block(p, s, x, k3, valid, *, training: bool, momentum: float):
 def _stage(p_list, s_list, x, k3, valid, *, training, momentum):
     s_new = []
     for bp, bs in zip(p_list, s_list):
-        x, ns = _basic_block(bp, bs, x, k3, valid, training=training,
-                             momentum=momentum)
+        x, ns = _residual_block(bp, bs, x, k3, valid, training=training,
+                                momentum=momentum)
         s_new.append(ns)
     return x, s_new
 

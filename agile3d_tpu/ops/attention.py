@@ -64,6 +64,78 @@ def mha(params, q_in, k_in, v_in, num_heads: int, attn_bias=None):
     return out @ params["out_w"] + params["out_b"]
 
 
+def mha_chunked_keys(params, q_in, k_in, v_in, num_heads: int,
+                     attn_bias=None, chunk: int = 8192):
+    """MHA with an online-softmax scan over key chunks: never materializes
+    the [B, H, Lq, Lk] logits (the XLA-path memory hog for voxel-axis
+    attention). Differentiable (plain lax.scan), numerics match ``mha``.
+
+    attn_bias [B, Lq, Lk] is consumed chunk-by-chunk.
+    """
+    b, lq, e = q_in.shape
+    lk = k_in.shape[1]
+    if lk % chunk != 0:
+        return mha(params, q_in, k_in, v_in, num_heads, attn_bias)
+    hd = e // num_heads
+    nc = lk // chunk
+
+    def proj(x, w, bias):
+        return (x @ w + bias).reshape(x.shape[0], x.shape[1], num_heads, hd)
+
+    q = proj(q_in, params["q_w"], params["q_b"]) * (hd ** -0.5)
+    k = proj(k_in, params["k_w"], params["k_b"])
+    v = proj(v_in, params["v_w"], params["v_b"])
+
+    k_c = k.reshape(b, nc, chunk, num_heads, hd).transpose(1, 0, 2, 3, 4)
+    v_c = v.reshape(b, nc, chunk, num_heads, hd).transpose(1, 0, 2, 3, 4)
+    if attn_bias is not None:
+        bias_c = attn_bias.reshape(b, lq, nc, chunk).transpose(2, 0, 1, 3)
+    else:
+        bias_c = jnp.zeros((nc, 1, 1, chunk), q_in.dtype)
+
+    def step(carry, inp):
+        m, l, acc = carry
+        kc, vc, bc = inp
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, kc) + bc[:, None]
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+        scale = jnp.exp(m - m_new)
+        p = jnp.exp(logits - m_new[..., None])
+        l_new = l * scale + jnp.sum(p, axis=-1)
+        acc_new = acc * scale[..., None] + jnp.einsum("bhqk,bkhd->bhqd", p, vc)
+        return (m_new, l_new, acc_new), None
+
+    init = (jnp.full((b, num_heads, lq), NEG_INF),
+            jnp.zeros((b, num_heads, lq)),
+            jnp.zeros((b, num_heads, lq, hd)))
+    (m, l, acc), _ = jax.lax.scan(step, init, (k_c, v_c, bias_c))
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    out = out.transpose(0, 2, 1, 3).reshape(b, lq, e)
+    return out @ params["out_w"] + params["out_b"]
+
+
+def mha_chunked_queries(params, q_in, k_in, v_in, num_heads: int,
+                        attn_bias=None, chunk: int = 8192):
+    """MHA scanned over ROW (query) chunks — for the scene-to-click
+    direction where softmax runs over the tiny key axis but the query axis
+    is the voxel count. attn_bias [B, Lq, Lk]."""
+    b, lq, e = q_in.shape
+    if lq % chunk != 0:
+        return mha(params, q_in, k_in, v_in, num_heads, attn_bias)
+    nc = lq // chunk
+
+    q_c = q_in.reshape(b, nc, chunk, e).transpose(1, 0, 2, 3)
+    bias_c = (attn_bias.reshape(b, nc, chunk, -1).transpose(1, 0, 2, 3)
+              if attn_bias is not None else
+              jnp.zeros((nc, 1, 1, k_in.shape[1]), q_in.dtype))
+
+    def step(_, inp):
+        qc, bc = inp
+        return None, mha(params, qc, k_in, v_in, num_heads, bc)
+
+    _, out = jax.lax.scan(step, None, (q_c, bias_c))
+    return out.transpose(1, 0, 2, 3).reshape(b, lq, e)
+
+
 def _xavier_linear(key, fan_in, fan_out):
     lim = (6.0 / (fan_in + fan_out)) ** 0.5
     kw, kb = jax.random.split(key)
@@ -104,18 +176,28 @@ def self_attention_layer(params, tgt, num_heads, *, query_pos=None,
 
 
 def cross_attention_layer(params, tgt, memory, num_heads, *, pos=None,
-                          query_pos=None, attn_bias=None, pre_norm=False):
+                          query_pos=None, attn_bias=None, pre_norm=False,
+                          chunk_keys=0, chunk_queries=0):
     """reference attention_block.py:86-113 (q = tgt + query_pos,
-    k = memory + pos, value = memory)."""
+    k = memory + pos, value = memory). chunk_keys/chunk_queries select the
+    memory-lean scanned attention for long key/query axes."""
+    if chunk_keys:
+        attend = lambda q, k, v, b: mha_chunked_keys(
+            params["attn"], q, k, v, num_heads, b, chunk_keys)
+    elif chunk_queries:
+        attend = lambda q, k, v, b: mha_chunked_queries(
+            params["attn"], q, k, v, num_heads, b, chunk_queries)
+    else:
+        attend = lambda q, k, v, b: mha(params["attn"], q, k, v, num_heads, b)
     if pre_norm:
         t2 = layer_norm(tgt, params["norm"])
         q = t2 if query_pos is None else t2 + query_pos
         k = memory if pos is None else memory + pos
-        out = mha(params["attn"], q, k, memory, num_heads, attn_bias)
+        out = attend(q, k, memory, attn_bias)
         return tgt + out
     q = tgt if query_pos is None else tgt + query_pos
     k = memory if pos is None else memory + pos
-    out = mha(params["attn"], q, k, memory, num_heads, attn_bias)
+    out = attend(q, k, memory, attn_bias)
     return layer_norm(tgt + out, params["norm"])
 
 

@@ -1,0 +1,199 @@
+"""Voxel-axis ("sequence") parallel decoder over the mesh's ``sp`` axis.
+
+The scaling axis of this workload is voxels per scene (SURVEY.md section
+5.7): attention is N x Q with tiny Q, so the clean parallel layout shards
+the voxel axis and replicates the queries —
+
+  * click-to-scene attention: keys/values sharded; softmax over the sharded
+    axis via max/sum collectives (pmax/psum over 'sp');
+  * click-to-click attention + FFN: replicated (queries are tiny);
+  * scene-to-click attention and the mask head: row-parallel, local;
+  * click-feature gathers and the mask-reset "object present" test are the
+    only other cross-shard reductions (one psum each).
+
+Memory per chip drops from O(N * Q) to O(N/n_sp * Q) for the attention
+bias/logits — the term that dominates for KITTI-360-scale scans.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from agile3d_tpu.config import ModelConfig
+from agile3d_tpu.models.agile3d import ClickState, SceneFeatures
+from agile3d_tpu.ops.attention import NEG_INF, cross_attention_layer, ffn_layer, self_attention_layer
+from agile3d_tpu.ops.norm import layer_norm
+from agile3d_tpu.ops.pos_enc import fourier_pos
+
+
+def _mha_sharded_keys(params, q_in, k_in, v_in, num_heads, bias_local, axis):
+    """MHA with keys/values sharded over `axis`: distributed softmax."""
+    b, lq, e = q_in.shape
+    hd = e // num_heads
+
+    def proj(x, w, bias):
+        return (x @ w + bias).reshape(x.shape[0], x.shape[1], num_heads, hd)
+
+    q = proj(q_in, params["q_w"], params["q_b"]) * (hd ** -0.5)
+    k = proj(k_in, params["k_w"], params["k_b"])
+    v = proj(v_in, params["v_w"], params["v_b"])
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) + bias_local[:, None, :, :]
+    m = jax.lax.pmax(jnp.max(logits, axis=-1), axis)          # [b,h,q]
+    ex = jnp.exp(logits - m[..., None])
+    denom = jax.lax.psum(jnp.sum(ex, axis=-1), axis)          # [b,h,q]
+    num = jax.lax.psum(jnp.einsum("bhqk,bkhd->bqhd", ex, v), axis)
+    out = (num / denom.transpose(0, 2, 1)[..., None]).reshape(b, lq, e)
+    return out @ params["out_w"] + params["out_b"]
+
+
+def _cross_attn_sharded_keys(layer_params, tgt, memory_local, num_heads, *,
+                             pos_local, query_pos, bias_local, axis):
+    """Post-norm CrossAttentionLayer with the memory axis sharded."""
+    q = tgt + query_pos
+    k = memory_local + pos_local
+    out = _mha_sharded_keys(layer_params["attn"], q, k, memory_local,
+                            num_heads, bias_local, axis)
+    return layer_norm(tgt + out, layer_params["norm"])
+
+
+def _sp_mask_module(params, queries, src_local, query_obj, query_valid,
+                    col_valid, vox_valid_local, axis):
+    mh = params["mask_embed_head"]
+    qn = layer_norm(queries, params["decoder_norm"])
+    emb = jax.nn.relu(qn @ mh["linear1"]["w"] + mh["linear1"]["b"])
+    emb = emb @ mh["linear2"]["w"] + mh["linear2"]["b"]
+    logits = jnp.einsum("bnc,bqc->bnq", src_local, emb)
+
+    n_cols = col_valid.shape[1]
+    cols = []
+    for o in range(n_cols):
+        sel = (query_obj == o) & query_valid
+        cols.append(jnp.max(jnp.where(sel[:, None, :], logits, NEG_INF),
+                            axis=-1))
+    out = jnp.stack(cols, axis=-1)
+    out = jnp.where(col_valid[:, None, :], out, NEG_INF)
+
+    labels = jnp.argmax(out, axis=-1)
+    labels = jnp.where(vox_valid_local, labels, -1)
+    obj_ids = jnp.arange(n_cols)
+    match = labels[:, None, :] == obj_ids[None, :, None]
+    present_local = jnp.any(match, axis=-1)
+    present = jax.lax.psum(present_local.astype(jnp.int32), axis) > 0
+    per_obj_bias = jnp.where(present[..., None] & ~match, NEG_INF, 0.0)
+    safe_obj = jnp.clip(query_obj, 0, n_cols - 1)
+    round_bias = jnp.take_along_axis(per_obj_bias, safe_obj[:, :, None],
+                                     axis=1)
+    return out, round_bias
+
+
+def make_forward_mask_sp(mesh: Mesh, cfg: ModelConfig):
+    """Returns a jitted forward_mask whose voxel axis is sharded over the
+    mesh's 'sp' axis. Inputs use the same SceneFeatures/ClickState as the
+    single-chip path; outputs match it numerically (tests/test_parallel.py)."""
+    n_sp = mesh.shape["sp"]
+    axis = "sp"
+    nbq, heads = cfg.num_bg_queries, cfg.num_heads
+    n_cols = 1 + cfg.max_fg_objects
+
+    def local_fn(params, buffers, mask_feat_l, pos_pcd_l, valid_l, raw_l,
+                 cmin, cmax, clicks, num_obj):
+        b, nl, c = mask_feat_l.shape
+        shard = jax.lax.axis_index(axis)
+        lo = shard * nl
+
+        # assemble click features/coords across shards (one psum each)
+        click_valid = clicks.vox >= 0
+        local_idx = clicks.vox - lo
+        in_shard = click_valid & (local_idx >= 0) & (local_idx < nl)
+        safe = jnp.clip(local_idx, 0, nl - 1)
+        cfeat = jnp.where(
+            in_shard[..., None],
+            jnp.take_along_axis(mask_feat_l, safe[..., None], axis=1), 0)
+        cxyz = jnp.where(
+            in_shard[..., None],
+            jnp.take_along_axis(raw_l, safe[..., None], axis=1), 0)
+        cfeat = jax.lax.psum(cfeat, axis)
+        cxyz = jax.lax.psum(cxyz, axis)
+
+        cpos = fourier_pos(cxyz, buffers["gauss_B"], cmin[:, None, :],
+                           cmax[:, None, :], normalize=cfg.normalize_pos_enc)
+        t_safe = jnp.clip(clicks.time, 0, buffers["time_pe"].shape[0] - 1)
+        cpos = jnp.where(click_valid[..., None],
+                         cpos + buffers["time_pe"][t_safe], 0)
+        cfeat = jnp.where(click_valid[..., None], cfeat, 0)
+
+        bg_feat = jnp.broadcast_to(params["bg_query_feat"][None], (b, nbq, c))
+        bg_pos = jnp.broadcast_to(params["bg_query_pos"][None], (b, nbq, c))
+        queries = jnp.concatenate([bg_feat, cfeat], axis=1)
+        query_pos = jnp.concatenate([bg_pos, cpos], axis=1)
+        query_obj = jnp.concatenate(
+            [jnp.zeros((b, nbq), jnp.int32), clicks.obj], axis=1)
+        query_valid = jnp.concatenate(
+            [jnp.ones((b, nbq), bool), click_valid], axis=1)
+
+        vox_key_bias = jnp.where(valid_l, 0.0, NEG_INF)[:, None, :]
+        q_key_bias = jnp.where(query_valid, 0.0, NEG_INF)[:, None, :]
+        col_valid = jnp.arange(n_cols)[None, :] <= num_obj[:, None]
+
+        src = mask_feat_l
+        round_bias = jnp.zeros((b, queries.shape[1], nl))
+        preds = []
+        for r in range(cfg.num_decoders):
+            dp = params["decoders"][0 if cfg.shared_decoder else r]
+            queries = _cross_attn_sharded_keys(
+                dp["c2s"], queries, src, heads, pos_local=pos_pcd_l,
+                query_pos=query_pos, bias_local=round_bias + vox_key_bias,
+                axis=axis)
+            queries = self_attention_layer(
+                dp["c2c"], queries, heads, query_pos=query_pos,
+                attn_bias=q_key_bias, pre_norm=cfg.pre_norm)
+            queries = ffn_layer(dp["ffn"], queries, pre_norm=cfg.pre_norm)
+            src = cross_attention_layer(
+                dp["s2c"], src, queries, heads, pos=query_pos,
+                query_pos=pos_pcd_l,
+                attn_bias=jnp.broadcast_to(q_key_bias,
+                                           (b, nl, queries.shape[1])),
+                pre_norm=cfg.pre_norm)
+            masks, round_bias = _sp_mask_module(
+                params, queries, src, query_obj, query_valid, col_valid,
+                valid_l, axis)
+            preds.append(masks)
+        return jnp.stack(preds)  # [R, B, Nl, 1+K] sharded over Nl
+
+    sharded = jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), P(), P(None, axis, None), P(None, axis, None),
+                  P(None, axis), P(None, axis, None), P(), P(),
+                  ClickState(P(), P(), P()), P()),
+        out_specs=P(None, None, axis, None),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def forward_mask_sp(params, buffers, scene: SceneFeatures,
+                        clicks: ClickState, num_obj):
+        all_masks = sharded(params, buffers, scene.mask_feat, scene.pos_pcd,
+                            scene.vox_valid, scene.raw, scene.cmin,
+                            scene.cmax, clicks, num_obj)
+        return {"pred_masks": all_masks[-1],
+                "aux_masks": all_masks[:-1],
+                "all_masks": all_masks}
+
+    def shard_scene(scene: SceneFeatures) -> SceneFeatures:
+        """Place scene features with the voxel axis sharded over sp."""
+        sh = lambda spec: NamedSharding(mesh, spec)
+        return SceneFeatures(
+            mask_feat=jax.device_put(scene.mask_feat, sh(P(None, axis, None))),
+            pos_pcd=jax.device_put(scene.pos_pcd, sh(P(None, axis, None))),
+            vox_valid=jax.device_put(scene.vox_valid, sh(P(None, axis))),
+            raw=jax.device_put(scene.raw, sh(P(None, axis, None))),
+            cmin=jax.device_put(scene.cmin, sh(P())),
+            cmax=jax.device_put(scene.cmax, sh(P())),
+        )
+
+    return forward_mask_sp, shard_scene

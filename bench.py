@@ -5,7 +5,12 @@ with cached backbone features on one TPU chip. Prints ONE JSON line
 {"metric", "value", "unit", "vs_baseline"} where vs_baseline = 50 / p50_ms
 (>1 means faster than the target).
 
-Also reports (to stderr) backbone latency and scenes/sec for context.
+Timing methodology: on the axon tunnel, block_until_ready returns at
+dispatch, so each timed call is CHAINED through a denormal-scale data
+dependency on the previous call's output and the run is fenced with a
+single scalar readback — the loop cannot overlap or skip work.
+
+Also reports (to stderr) backbone latency for context.
 """
 
 import json
@@ -13,6 +18,14 @@ import sys
 import time
 
 import numpy as np
+
+
+def fence(x):
+    """Force completion of x's producer with a 4-byte readback."""
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(leaf.reshape(-1)[0].astype("float32"))
 
 
 def main():
@@ -49,19 +62,24 @@ def main():
     engine = InteractiveEngine(cfg)
     batch = collate_scenes([sample], cfg.buckets)
 
-    # backbone (amortized once per scene)
+    # backbone (amortized once per scene): chain feats through the output
+    pyr, feats_dev, raw_dev, si_dev = engine.device_batch(batch)
     t0 = time.time()
-    scene, _ = engine.run_backbone(params, buffers, bn_state, batch)
-    jax.block_until_ready(scene.mask_feat)
+    scene, _ = engine._backbone(params, buffers, bn_state, pyr, feats_dev,
+                                raw_dev, si_dev, training=False)
+    fence(scene.mask_feat)
     compile_s = time.time() - t0
-    bb_times = []
-    for _ in range(5):
-        t0 = time.time()
-        scene, _ = engine.run_backbone(params, buffers, bn_state, batch)
-        jax.block_until_ready(scene.mask_feat)
-        bb_times.append(time.time() - t0)
-    print(f"backbone: compile+run {compile_s:.1f}s, steady "
-          f"{1000 * np.median(bb_times):.1f} ms", file=sys.stderr)
+    iters = 5
+    t0 = time.time()
+    for _ in range(iters):
+        scene, _ = engine._backbone(params, buffers, bn_state, pyr,
+                                    feats_dev, raw_dev, si_dev,
+                                    training=False)
+        feats_dev = feats_dev + scene.mask_feat[0, : feats_dev.shape[0], :3] * 1e-38
+    fence(scene.mask_feat)
+    bb_ms = 1000 * (time.time() - t0) / iters
+    print(f"backbone: compile+first {compile_s:.1f}s, steady {bb_ms:.1f} ms "
+          f"(chained x{iters})", file=sys.stderr)
 
     # clicks: a realistic mid-session state (24 clicks over 8 objects)
     clicks = HostClicks(cfg.model.max_clicks)
@@ -69,17 +87,41 @@ def main():
     cl_obj = np.tile(np.arange(8, dtype=np.int32) + 1, 3)[:24]
     clicks.extend(NewClicks(cl_vox, cl_obj, np.arange(24, dtype=np.int32)))
 
-    out, pred = engine.run_mask(params, buffers, scene, clicks, 8)
-    jax.block_until_ready(pred)
-    times = []
-    for _ in range(30):
+    from agile3d_tpu.models.agile3d import ClickState
+    import jax.numpy as jnp
+
+    cs = ClickState(vox=jnp.asarray(clicks.vox[None]),
+                    obj=jnp.asarray(clicks.obj[None]),
+                    time=jnp.asarray(clicks.time[None]))
+    num_obj_dev = jnp.asarray([8], jnp.int32)
+
+    try:
+        out, pred = engine._mask(params, buffers, scene, cs, num_obj_dev)
+        fence(pred)
+    except Exception as e:  # Mosaic remote-compile flakiness: fall back
+        print(f"pallas decoder failed ({str(e)[:200]}); "
+              "falling back to XLA path", file=sys.stderr)
+        engine = InteractiveEngine(cfg, decoder_impl="xla")
+        engine._dev_cache_key = None
+        out, pred = engine._mask(params, buffers, scene, cs, num_obj_dev)
+        fence(pred)
+    # chained timing: each round's scene depends on the previous prediction
+    reps = 3
+    per_rep = []
+    for _ in range(reps):
+        sc = scene
+        iters = 10
         t0 = time.time()
-        out, pred = engine.run_mask(params, buffers, scene, clicks, 8)
-        jax.block_until_ready(pred)
-        times.append((time.time() - t0) * 1000)
-    p50 = float(np.percentile(times, 50))
-    print(f"forward_mask p50 {p50:.2f} ms p90 "
-          f"{float(np.percentile(times, 90)):.2f} ms", file=sys.stderr)
+        for _ in range(iters):
+            out, pred = engine._mask(params, buffers, sc, cs, num_obj_dev)
+            sc = sc._replace(
+                mask_feat=sc.mask_feat
+                + pred[..., None].astype(jnp.float32) * 1e-38)
+        fence(pred)
+        per_rep.append(1000 * (time.time() - t0) / iters)
+    p50 = float(np.median(per_rep))
+    print(f"forward_mask per-call (chained): {[f'{t:.2f}' for t in per_rep]}"
+          f" ms -> p50 {p50:.2f} ms", file=sys.stderr)
 
     print(json.dumps({
         "metric": "per_click_forward_mask_p50_latency",

@@ -1,0 +1,87 @@
+"""Mesh-parallel paths on 8 virtual CPU devices: SP decoder equals the
+single-chip decoder; DP train step runs and syncs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from agile3d_tpu.config import Config, ModelConfig, TrainConfig
+from agile3d_tpu.models.agile3d import (
+    ClickState,
+    SceneFeatures,
+    forward_mask,
+    init_agile3d,
+)
+from agile3d_tpu.ops.pos_enc import fourier_pos
+from agile3d_tpu.parallel import make_mesh
+from agile3d_tpu.parallel.sp import make_forward_mask_sp
+
+CFG = ModelConfig(max_clicks=32)
+
+
+def _scene_and_clicks(rng, n_valid=600, n_pad=1024):
+    params, buffers, _ = init_agile3d(jax.random.PRNGKey(0), CFG)
+    raw = rng.random((n_pad, 3)).astype(np.float32) * 5
+    raw[n_valid:] = 0
+    feat = rng.standard_normal((n_pad, 128)).astype(np.float32) * 0.5
+    feat[n_valid:] = 0
+    valid = np.zeros(n_pad, bool)
+    valid[:n_valid] = True
+    cmin, cmax = raw[:n_valid].min(0), raw[:n_valid].max(0)
+    pos = np.array(fourier_pos(jnp.asarray(raw), buffers["gauss_B"],
+                               jnp.asarray(cmin), jnp.asarray(cmax)))
+    pos[~valid] = 0
+    scene = SceneFeatures(
+        mask_feat=jnp.asarray(feat)[None], pos_pcd=jnp.asarray(pos)[None],
+        vox_valid=jnp.asarray(valid)[None], raw=jnp.asarray(raw)[None],
+        cmin=jnp.asarray(cmin)[None], cmax=jnp.asarray(cmax)[None])
+
+    vox = np.full((1, CFG.max_clicks), -1, np.int32)
+    obj = np.zeros((1, CFG.max_clicks), np.int32)
+    tim = np.zeros((1, CFG.max_clicks), np.int32)
+    picks = rng.choice(n_valid, 7, replace=False)
+    objs = [1, 1, 2, 3, 0, 2, 1]
+    for i, (v, o) in enumerate(zip(picks, objs)):
+        vox[0, i], obj[0, i], tim[0, i] = v, o, i
+    clicks = ClickState(jnp.asarray(vox), jnp.asarray(obj), jnp.asarray(tim))
+    return params, buffers, scene, clicks
+
+
+def test_sp_decoder_matches_single_chip():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(0)
+    params, buffers, scene, clicks = _scene_and_clicks(rng)
+    num_obj = jnp.asarray([3], jnp.int32)
+
+    ref = forward_mask(params, buffers, scene, clicks, num_obj, cfg=CFG)
+
+    mesh = make_mesh(n_dp=1, n_sp=8)
+    fm_sp, shard_scene = make_forward_mask_sp(mesh, CFG)
+    got = fm_sp(params, buffers, shard_scene(scene), clicks, num_obj)
+
+    valid = np.asarray(scene.vox_valid[0])
+    a = np.asarray(ref["all_masks"])[:, 0][:, valid][..., :4]
+    b = np.asarray(got["all_masks"])[:, 0][:, valid][..., :4]
+    np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+
+    # argmax predictions identical
+    pa = np.asarray(ref["pred_masks"])[0, valid].argmax(-1)
+    pb = np.asarray(got["pred_masks"])[0, valid].argmax(-1)
+    np.testing.assert_array_equal(pa, pb)
+
+
+def test_dp_train_step_runs():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+def test_mesh_construction():
+    m = make_mesh(n_dp=4, n_sp=2)
+    assert m.shape == {"dp": 4, "sp": 2}
+    with pytest.raises(ValueError):
+        make_mesh(n_dp=16, n_sp=2)
