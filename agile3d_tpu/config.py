@@ -61,6 +61,9 @@ class ModelConfig:
     xla_attn_chunk: int = 8192          # scan voxel-axis attention in chunks
                                         # when N >= 2*chunk (0 disables);
                                         # bounds XLA-path HBM at large N
+    backbone_dtype: str = "float32"     # 'bfloat16' halves backbone HBM
+                                        # traffic (BN stats stay f32);
+                                        # float32 preserves checkpoint parity
 
     @property
     def max_queries(self) -> int:

@@ -33,14 +33,16 @@ class InteractiveEngine:
     """Holds jitted model entry points (weights are donated per call so the
     same engine serves training checkpoints as they evolve).
 
-    decoder_impl: 'auto' (Pallas fused kernels on TPU, XLA elsewhere),
-    'pallas', or 'xla'.
+    decoder_impl: 'xla' (default — chunked attention + query bucketing keep
+    it fast and memory-lean) or 'pallas' (fused kernels; currently behind
+    XLA because of per-head lane-relayout overheads at head_dim=16 — kept
+    for further kernel work).
     """
 
     def __init__(self, cfg: Config, decoder_impl: str = "auto"):
         self.cfg = cfg
         if decoder_impl == "auto":
-            decoder_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+            decoder_impl = "xla"
         self.decoder_impl = decoder_impl
 
         @functools.partial(jax.jit, static_argnames=("training",))
@@ -94,10 +96,22 @@ class InteractiveEngine:
         return self._backbone(params, buffers, bn_state, pyr, feats, raw,
                               sample_idx, training=training)
 
+    CLICK_BUCKETS = (32, 64, 128, 256)
+
+    def _click_bucket(self, count: int) -> int:
+        for b in self.CLICK_BUCKETS:
+            if count <= b <= self.cfg.model.max_clicks:
+                return b
+        return self.cfg.model.max_clicks
+
     def run_mask(self, params, buffers, scene, clicks: HostClicks, num_obj):
-        cs = ClickState(vox=jnp.asarray(clicks.vox[None]),
-                        obj=jnp.asarray(clicks.obj[None]),
-                        time=jnp.asarray(clicks.time[None]))
+        # Query-axis bucketing: the attention/mask-head cost scales with the
+        # padded click table, so slice it to the smallest bucket holding the
+        # live clicks (one extra jit cache entry per bucket).
+        mc = self._click_bucket(clicks.count)
+        cs = ClickState(vox=jnp.asarray(clicks.vox[None, :mc]),
+                        obj=jnp.asarray(clicks.obj[None, :mc]),
+                        time=jnp.asarray(clicks.time[None, :mc]))
         return self._mask(params, buffers, scene, cs,
                           jnp.asarray([num_obj], jnp.int32))
 
@@ -213,4 +227,52 @@ def evaluate_dataset(
                 last = rows[-1].split(" ")
                 log(f"[{i + 1}/{len(dataset)}] {batch.scene_names[0]} "
                     f"final IoU {float(last[4]):.4f}")
+    return results_file
+
+
+def evaluate_dataset_parallel(
+    cfg: Config,
+    params, buffers, bn_state,
+    dataset,
+    results_file: str,
+    *,
+    mode: str,
+    devices=None,
+    max_num_clicks: int = 20,
+    seed: int = 42,
+    log=print,
+):
+    """Scene-parallel evaluation: scenes are embarrassingly parallel across
+    chips (SURVEY.md section 2 parallelism item b), so each device runs its
+    own rollout worker thread. Per-scene RNG seeding (seed + scene index)
+    keeps results independent of the device count; CSV rows are written in
+    dataset order."""
+    import concurrent.futures
+
+    devices = devices if devices is not None else jax.devices()
+    results: dict[int, list[str]] = {}
+
+    def worker(dev, indices):
+        with jax.default_device(dev):
+            engine = InteractiveEngine(cfg)
+            for i in indices:
+                batch = collate_scenes([dataset[i]], cfg.buckets)
+                rows = evaluate_scene(
+                    engine, params, buffers, bn_state, batch, mode=mode,
+                    instance_id=i, rng=random.Random(seed + i),
+                    max_num_clicks=max_num_clicks)
+                results[i] = rows
+                log(f"[dev {dev.id}] scene {i + 1}/{len(dataset)} done")
+
+    shards = [list(range(d, len(dataset), len(devices)))
+              for d in range(len(devices))]
+    with concurrent.futures.ThreadPoolExecutor(len(devices)) as ex:
+        futures = [ex.submit(worker, dev, idxs)
+                   for dev, idxs in zip(devices, shards)]
+        for fu in futures:
+            fu.result()
+
+    with open(results_file, "w") as f:
+        for i in range(len(dataset)):
+            f.write("\n".join(results[i]) + "\n")
     return results_file

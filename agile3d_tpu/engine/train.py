@@ -133,10 +133,11 @@ def rollout_clicks(engine: InteractiveEngine, params, buffers, scene,
         if current == 0:
             preds = [np.zeros(n_valid[i], np.int32) for i in range(b)]
         else:
+            mc = engine._click_bucket(max(c.count for c in clicks))
             cs = ClickState(
-                vox=jnp.asarray(np.stack([c.vox for c in clicks])),
-                obj=jnp.asarray(np.stack([c.obj for c in clicks])),
-                time=jnp.asarray(np.stack([c.time for c in clicks])))
+                vox=jnp.asarray(np.stack([c.vox[:mc] for c in clicks])),
+                obj=jnp.asarray(np.stack([c.obj[:mc] for c in clicks])),
+                time=jnp.asarray(np.stack([c.time[:mc] for c in clicks])))
             _, pred_dev = engine._mask(params, buffers, scene, cs,
                                        jnp.asarray(num_obj))
             pred_host = np.asarray(pred_dev)
@@ -197,11 +198,14 @@ def train_one_epoch(engine, params, buffers, bn_state, opt_state, train_step,
         clicks = rollout_clicks(engine, params, buffers, scene, labels_new,
                                 num_obj, raw_per_sample, n_valid, py_rng, cfg)
 
-        # 3. supervised step
+        # 3. supervised step (coarse click buckets so the expensive
+        # train-step jit compiles at most twice)
+        mc = 64 if max(c.count for c in clicks) <= 64 else \
+            cfg.model.max_clicks
         cs = ClickState(
-            vox=jnp.asarray(np.stack([c.vox for c in clicks])),
-            obj=jnp.asarray(np.stack([c.obj for c in clicks])),
-            time=jnp.asarray(np.stack([c.time for c in clicks])))
+            vox=jnp.asarray(np.stack([c.vox[:mc] for c in clicks])),
+            obj=jnp.asarray(np.stack([c.obj[:mc] for c in clicks])),
+            time=jnp.asarray(np.stack([c.time[:mc] for c in clicks])))
         pyr_dev, feats_dev, raw_dev, si_dev = engine.device_batch(batch)
         params, bn_state, opt_state, tot, losses, gnorm, miou = train_step(
             params, buffers, bn_state, opt_state, pyr_dev, feats_dev,

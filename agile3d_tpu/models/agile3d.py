@@ -159,10 +159,12 @@ def forward_backbone(
 ):
     """Run the UNet once per scene and cache everything the per-click decoder
     needs (reference agile3d.py:163-181). Returns (SceneFeatures, bn_state')."""
+    cd = (jnp.bfloat16 if cfg.backbone_dtype == "bfloat16" else None)
     fmaps, new_bn_state = backbone_forward(
         params["backbone"], bn_state, pyr, feats,
-        training=training, cfg=cfg.backbone)
-    squeezed = linear(fmaps[-1], params["lin_squeeze"]["w"],
+        training=training, cfg=cfg.backbone, compute_dtype=cd)
+    squeezed = linear(fmaps[-1].astype(jnp.float32),
+                      params["lin_squeeze"]["w"],
                       params["lin_squeeze"]["b"], valid=pyr.levels[0].valid)
 
     # flat -> per-sample padded gather
@@ -281,10 +283,15 @@ def forward_mask(
 
     src = scene.mask_feat
     round_bias = jnp.zeros((b, queries.shape[1], n))
-    # memory-lean scanned attention once the voxel axis dwarfs the chunk
+    # memory-lean scanned attention only when the [B, H, Q, N] logits would
+    # actually pressure HBM (large voxel count AND a large query bucket);
+    # small-Q rounds run dense — the scan's per-chunk dispatch overhead
+    # would dominate them
+    q_total = queries.shape[1]
     chunk = cfg.xla_attn_chunk if (
         cfg.xla_attn_chunk and n >= 2 * cfg.xla_attn_chunk
-        and n % cfg.xla_attn_chunk == 0) else 0
+        and n % cfg.xla_attn_chunk == 0
+        and b * q_total * n * heads > 512_000_000) else 0
     preds = []
     for r in range(cfg.num_decoders):
         dp = params["decoders"][0 if cfg.shared_decoder else r]

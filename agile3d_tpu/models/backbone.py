@@ -20,6 +20,7 @@ All functions are pure: (params, state, pyramid, feats) -> (outputs, state').
 
 from __future__ import annotations
 
+import functools
 import math
 
 import jax
@@ -28,7 +29,11 @@ import numpy as np
 
 from agile3d_tpu.config import BackboneConfig
 from agile3d_tpu.ops.norm import batch_norm, init_bn
-from agile3d_tpu.ops.sparse_conv import linear, sparse_conv, sparse_conv_transpose
+from agile3d_tpu.ops.sparse_conv import (
+    linear,
+    sparse_conv,
+    sparse_conv_transpose,
+)
 from agile3d_tpu.sparse.grid import PaddedPyramid
 
 
@@ -223,9 +228,14 @@ def _residual_block(p, s, x, k3, valid, *, training: bool, momentum: float):
 
 def _stage(p_list, s_list, x, k3, valid, *, training, momentum):
     s_new = []
+    # per-block rematerialization: the backward pass recomputes each block's
+    # activations instead of keeping all 26 blocks' intermediates alive
+    # (jax.checkpoint, SURVEY.md TPU design notes on HBM)
+    blk = jax.checkpoint(
+        functools.partial(_residual_block, training=training,
+                          momentum=momentum))
     for bp, bs in zip(p_list, s_list):
-        x, ns = _residual_block(bp, bs, x, k3, valid, training=training,
-                                momentum=momentum)
+        x, ns = blk(bp, bs, x, k3, valid)
         s_new.append(ns)
     return x, s_new
 
@@ -238,22 +248,35 @@ def backbone_forward(
     *,
     training: bool = False,
     cfg: BackboneConfig = BackboneConfig(),
+    compute_dtype=None,
 ):
     """Run the UNet. Returns (feature_maps, new_state) where feature_maps is
     the 5-level FPN [stride16, 8, 4, 2, 1] exactly as the reference's
     ``forward(..., out_fpn=True)`` (res16unet.py:250-295); feature_maps[-1]
-    is the stride-1 output fed to the decoder."""
+    is the stride-1 output fed to the decoder.
+
+    compute_dtype (e.g. jnp.bfloat16) halves the gather/GEMM HBM traffic;
+    BatchNorm statistics stay float32 either way.
+    """
     mom = cfg.bn_momentum
     lv = pyr.levels
     ns = {}
+    cd = compute_dtype
 
     def bn(name, x, valid):
-        y, ns[name] = batch_norm(x, valid, params[name], state[name],
-                                 training=training, momentum=mom)
-        return y
+        y, ns[name] = batch_norm(x.astype(jnp.float32), valid, params[name],
+                                 state[name], training=training, momentum=mom)
+        return y.astype(cd) if cd else y
 
-    # stem at stride 1
-    out = sparse_conv(feats, lv[0].k5, params["conv0p1s1"]["w"])
+    if cd:
+        feats = feats.astype(cd)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, params)
+
+    # stem at stride 1: grouped scan over the 125 offsets (measured: the
+    # per-channel im2col variant gathers scalars and is ~6x slower on TPU)
+    out = sparse_conv(feats, lv[0].k5, params["conv0p1s1"]["w"],
+                      unroll=False)
     out_p1 = jax.nn.relu(bn("bn0", out, lv[0].valid))
 
     # down path

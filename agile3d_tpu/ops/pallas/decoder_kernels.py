@@ -62,11 +62,12 @@ def _c2s_kernel(qh_ref, labels_ref, qobj_ref, open_ref, src_ref, pos_ref,
     v = jnp.dot(src, vw_ref[:],
                 preferred_element_type=jnp.float32) + vb_ref[0, :][None, :]
 
-    bias = jnp.where(valid_ref[:, 0] != 0, 0.0, NEG)[None, :]      # [1, Tn]
-    bias = jnp.broadcast_to(bias, (q, tn))
+    bias = jnp.broadcast_to(
+        jnp.where(valid_ref[:].T != 0, 0.0, NEG), (q, tn))  # [1,Tn]->[Q,Tn]
     if use_mask:
-        allow = (labels_ref[:, 0][None, :] == qobj_ref[:, 0][:, None]) | (
-            open_ref[:, 0][:, None] != 0)                          # [Q, Tn]
+        # strictly-2D broadcasting ([1, Tn] vs [Q, 1]); 1-D intermediates
+        # crash the Mosaic compiler at larger Q
+        allow = (labels_ref[:].T == qobj_ref[:]) | (open_ref[:] != 0)
         bias = bias + jnp.where(allow, 0.0, NEG)
 
     qh = qh_ref[:]
@@ -226,6 +227,9 @@ def s2c_mask_fused(kq, vq, qbias, embed, objmask, src, pos, valid, q_w, q_b,
     kernel = functools.partial(_s2c_mask_kernel, num_heads=num_heads,
                                n_cols=n_cols)
     vm = pltpu.VMEM
+    # lane-pad the object-selector input to a full 128-lane tile
+    ncp = max(128, n_cols)
+    objmask = jnp.pad(objmask, ((0, 0), (0, ncp - n_cols)))
     src_new, masks, labels2d, counts2d = pl.pallas_call(
         kernel,
         grid=grid,
@@ -234,7 +238,7 @@ def s2c_mask_fused(kq, vq, qbias, embed, objmask, src, pos, valid, q_w, q_b,
             pl.BlockSpec((qn, c), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((qn, 1), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((qn, c), lambda i: (0, 0), memory_space=vm),
-            pl.BlockSpec((qn, n_cols), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((qn, ncp), lambda i: (0, 0), memory_space=vm),
             pl.BlockSpec((BLOCK_N, c), lambda i: (i, 0), memory_space=vm),
             pl.BlockSpec((BLOCK_N, c), lambda i: (i, 0), memory_space=vm),
             pl.BlockSpec((BLOCK_N, 1), lambda i: (i, 0), memory_space=vm),

@@ -27,6 +27,7 @@ def masked_gather(x: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 _UNROLL_MAX_K = 8  # unroll tiny kernels; scan larger ones (compile time)
+_SCAN_GROUP = 4    # kernel offsets gathered per scan step (im2col slab)
 
 
 def sparse_conv(x: jax.Array, nbr: jax.Array, w: jax.Array,
@@ -62,14 +63,34 @@ def sparse_conv(x: jax.Array, nbr: jax.Array, w: jax.Array,
             g = masked_gather(x, nbr[:, j])
             acc = acc + jnp.dot(g, w[j], preferred_element_type=out_dtype)
     else:
+        # Offsets are scanned in groups of G: each step gathers G neighbor
+        # sets into an [M, G*C_in] im2col slab and runs ONE matmul. Versus a
+        # per-offset scan this cuts the HBM accumulator read/write traffic
+        # by G and widens the MXU contraction by G.
+        g_sz = _SCAN_GROUP
+        m, k_tot = nbr.shape
+        cin, cout = w.shape[1], w.shape[2]
+        pad = (-k_tot) % g_sz
+        nbr_g = jnp.concatenate(
+            [nbr, jnp.full((m, pad), -1, nbr.dtype)], axis=1)
+        nbr_g = nbr_g.T.reshape(-1, g_sz, m)                 # [K/G, G, M]
+        w_g = jnp.concatenate(
+            [w, jnp.zeros((pad, cin, cout), w.dtype)], axis=0)
+        w_g = w_g.reshape(-1, g_sz * cin, cout)              # [K/G, G*C, Co]
+
+        @jax.checkpoint
         def body(acc, inp):
-            idx, wj = inp
-            g = masked_gather(x, idx)
-            return acc + jnp.dot(g, wj, preferred_element_type=out_dtype), None
+            # remat: without it, scan AD stacks the gathered [M, G*C_in]
+            # activations across all steps (~GBs per conv at scene scale);
+            # recomputing the gather in the backward is free.
+            idx_g, wj = inp
+            slab = jnp.concatenate(
+                [masked_gather(x, idx_g[j]) for j in range(g_sz)], axis=1)
+            return acc + jnp.dot(slab, wj,
+                                 preferred_element_type=out_dtype), None
 
         acc, _ = jax.lax.scan(
-            body, jnp.zeros((nbr.shape[0], w.shape[2]), dtype=out_dtype),
-            (nbr.T, w))
+            body, jnp.zeros((m, cout), dtype=out_dtype), (nbr_g, w_g))
     if bias is not None:
         assert valid is not None, "bias add requires a validity mask"
         acc = acc + bias[None, :]
@@ -116,6 +137,26 @@ def linear(x: jax.Array, w: jax.Array, bias: jax.Array | None = None,
     if valid is not None:
         y = jnp.where(valid[:, None], y, 0)
     return y
+
+
+def sparse_conv_im2col(x: jax.Array, nbr: jax.Array, w: jax.Array) -> jax.Array:
+    """im2col formulation: gather all K neighbors into [M, C_in*K] and do
+    ONE [M, C_in*K] @ [C_in*K, C_out] matmul. The right shape for the k=5
+    stem conv whose C_in is 3 — per-offset matmuls would contract over 3
+    lanes; this contracts over 375.
+
+    Gathers run per input channel so the materialized buffer keeps K (not
+    C_in) on the minor axis — a [M, K, C_in] layout would be lane-padded
+    C_in -> 128 by TPU tiling (a 42x memory blowup for C_in=3)."""
+    k, cin, cout = w.shape
+    safe = jnp.clip(nbr, 0, x.shape[0] - 1)
+    present = nbr >= 0
+    g = jnp.concatenate(
+        [jnp.where(present, x[:, c][safe], 0) for c in range(cin)],
+        axis=1)                                            # [M, C_in*K]
+    w_cmajor = jnp.transpose(w, (1, 0, 2)).reshape(cin * k, cout)
+    out_dtype = jnp.promote_types(x.dtype, w.dtype)
+    return jnp.dot(g, w_cmajor, preferred_element_type=out_dtype)
 
 
 def avg_pool_down(x: jax.Array, down: jax.Array) -> jax.Array:

@@ -85,3 +85,31 @@ def test_mesh_construction():
     assert m.shape == {"dp": 4, "sp": 2}
     with pytest.raises(ValueError):
         make_mesh(n_dp=16, n_sp=2)
+
+
+def test_scene_parallel_eval(tmp_path):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    from agile3d_tpu.engine.eval import evaluate_dataset_parallel
+    from agile3d_tpu.data.datasets import InterMultiObjDataset
+    from tests.synthetic import write_benchmark
+
+    cfg = Config(model=ModelConfig(max_clicks=64), buckets=(1024, 2048, 4096))
+    scans, val_list = write_benchmark(str(tmp_path), num_scenes=4, num_obj=2,
+                                      n_points=1200)
+    ds = InterMultiObjDataset(scans, val_list, 0.05)
+    params, buffers, bn = init_agile3d(jax.random.PRNGKey(0), cfg.model)
+
+    csv1 = str(tmp_path / "par1.csv")
+    csv2 = str(tmp_path / "par2.csv")
+    for csv in (csv1, csv2):
+        evaluate_dataset_parallel(cfg, params, buffers, bn, ds, csv,
+                                  mode="multi", devices=jax.devices()[:4],
+                                  max_num_clicks=2, seed=3,
+                                  log=lambda *a: None)
+    assert open(csv1).read() == open(csv2).read()
+    rows = open(csv1).read().strip().split("\n")
+    # 4 scenes x (rounds at 0, 2, 3, 4 clicks) = 4 rows each
+    assert len(rows) == 16
+    ids = sorted({int(r.split(" ")[0]) for r in rows})
+    assert ids == [0, 1, 2, 3]

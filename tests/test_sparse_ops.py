@@ -162,3 +162,44 @@ def test_linear_masks_pad_rows():
     y = linear(x, w, b, valid)
     assert (np.asarray(y)[2:] == 0).all()
     assert (np.asarray(y)[:2] == 4).all()
+
+
+def test_im2col_matches_loop_conv():
+    from agile3d_tpu.ops.sparse_conv import sparse_conv_im2col
+
+    rng = np.random.default_rng(5)
+    vox = _random_scene(rng)
+    pyr = build_pyramid(vox, num_levels=1)
+    feats = rng.standard_normal((len(vox), 3)).astype(np.float32)
+    w = rng.standard_normal((125, 3, 32)).astype(np.float32) * 0.1
+    a = sparse_conv(jnp.asarray(feats), jnp.asarray(pyr.levels[0].k5),
+                    jnp.asarray(w))
+    b = sparse_conv_im2col(jnp.asarray(feats), jnp.asarray(pyr.levels[0].k5),
+                           jnp.asarray(w))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_backbone_bf16_mode_close_to_f32():
+    import jax
+    from agile3d_tpu.config import BackboneConfig
+    from agile3d_tpu.models.backbone import backbone_forward, init_backbone
+    from agile3d_tpu.sparse import pad_pyramid
+    from agile3d_tpu.sparse.grid import pad_features
+
+    rng = np.random.default_rng(6)
+    vox = _random_scene(rng, n=400, lo=0, hi=12)
+    pyr = pad_pyramid(build_pyramid(vox), buckets=(512, 1024))
+    cfg = BackboneConfig()
+    params, state = init_backbone(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(pad_features(
+        rng.random((len(vox), 3)).astype(np.float32),
+        pyr.levels[0].grid.shape[0]))
+    f32, _ = backbone_forward(params, state, pyr, x, cfg=cfg)
+    bf16, _ = backbone_forward(params, state, pyr, x, cfg=cfg,
+                               compute_dtype=jnp.bfloat16)
+    a = np.asarray(f32[-1])
+    b = np.asarray(bf16[-1]).astype(np.float32)
+    # bf16 drift stays small relative to activation scale
+    denom = np.abs(a).mean() + 1e-6
+    assert np.abs(a - b).mean() / denom < 0.1
