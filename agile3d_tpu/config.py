@@ -116,8 +116,12 @@ class Config:
 
 # Voxel-count buckets: scenes are padded up to the nearest bucket so jit
 # compiles once per bucket instead of once per scene (SURVEY.md section 7).
+# Power-of-two rungs plus 1.5x midpoints cap padding waste at ~33%; every
+# rung >= 8192 is a multiple of 8192 (chunked-attention divisibility) and
+# of the Pallas BLOCK_N=512.
 DEFAULT_VOXEL_BUCKETS = (
-    2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144, 524288,
+    2048, 4096, 8192, 16384, 24576, 32768, 49152, 65536, 98304, 131072,
+    196608, 262144, 393216, 524288, 786432, 1048576,
 )
 
 

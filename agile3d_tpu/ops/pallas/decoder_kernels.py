@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG = -1e9
-BLOCK_N = 512
+BLOCK_N = 1024
 
 
 def _c2s_kernel(qh_ref, labels_ref, qobj_ref, open_ref, src_ref, pos_ref,
@@ -70,10 +70,17 @@ def _c2s_kernel(qh_ref, labels_ref, qobj_ref, open_ref, src_ref, pos_ref,
         allow = (labels_ref[:].T == qobj_ref[:]) | (open_ref[:] != 0)
         bias = bias + jnp.where(allow, 0.0, NEG)
 
+    # Per-head compute via CHANNEL MASKS on full-width matmuls: slicing the
+    # 16-lane head groups would force Mosaic relayouts every step; masking
+    # keeps every dot [*, C] @ [C, *] MXU-shaped (the zeroed channels cost
+    # idle MXU lanes, which are cheaper than relayouts).
     qh = qh_ref[:]
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    acc_new = jnp.zeros((q, c), jnp.float32)
     for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        logits = jnp.dot(qh[:, sl], k[:, sl].T,
+        hmask = ((c_iota >= h * hd) & (c_iota < (h + 1) * hd)).astype(
+            jnp.float32)                                           # [1, C]
+        logits = jnp.dot(qh * hmask, k.T,
                          preferred_element_type=jnp.float32)       # [Q, Tn]
         logits = logits + bias
         m_old = m_ref[:, h]
@@ -81,16 +88,21 @@ def _c2s_kernel(qh_ref, labels_ref, qobj_ref, open_ref, src_ref, pos_ref,
         scale = jnp.exp(m_old - m_new)
         p = jnp.exp(logits - m_new[:, None])                       # [Q, Tn]
         l_ref[:, h] = l_ref[:, h] * scale + jnp.sum(p, axis=-1)
-        pv = jnp.dot(p, v[:, sl], preferred_element_type=jnp.float32)
-        acc_ref[:, sl] = acc_ref[:, sl] * scale[:, None] + pv
+        pv = jnp.dot(p, v * hmask, preferred_element_type=jnp.float32)
+        # per-head rescales touch only this head's channels
+        acc_new = acc_new + pv + (acc_ref[:] * hmask) * (scale[:, None] - 1.0)
         m_ref[:, h] = m_new
+    acc_ref[:] = acc_ref[:] + acc_new
 
     @pl.when(i == pl.num_programs(0) - 1)
     def _():
+        # denom per channel = l of its head
+        dh = jnp.zeros((q, c), jnp.float32)
         for h in range(num_heads):
-            sl = slice(h * hd, (h + 1) * hd)
-            denom = jnp.maximum(l_ref[:, h], 1e-30)
-            o_ref[:, sl] = acc_ref[:, sl] / denom[:, None]
+            hmask = ((c_iota >= h * hd) & (c_iota < (h + 1) * hd)).astype(
+                jnp.float32)
+            dh = dh + jnp.maximum(l_ref[:, h], 1e-30)[:, None] * hmask
+        o_ref[:] = acc_ref[:] / dh
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "use_mask",
@@ -155,16 +167,19 @@ def _s2c_mask_kernel(kq_ref, vq_ref, qbias_ref, embed_ref, objmask_ref,
     vq = vq_ref[:]
     qbias = qbias_ref[:].T                                 # [1, Qn]
 
-    head_ctx = []
+    # channel-masked full-width dots (see _c2s_kernel) — the head sum
+    # reconstructs the per-head concat because masks are disjoint
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, c), 1)
+    ctx = jnp.zeros((tn, c), jnp.float32)
     for h in range(num_heads):
-        sl = slice(h * hd, (h + 1) * hd)
-        logits = jnp.dot(qv[:, sl], kq[:, sl].T,
+        hmask = ((c_iota >= h * hd) & (c_iota < (h + 1) * hd)).astype(
+            jnp.float32)                                       # [1, C]
+        logits = jnp.dot(qv * hmask, kq.T,
                          preferred_element_type=jnp.float32)   # [Tn, Qn]
         logits = logits + qbias
         p = jax.nn.softmax(logits, axis=-1)
-        head_ctx.append(
-            jnp.dot(p, vq[:, sl], preferred_element_type=jnp.float32))
-    ctx = jnp.concatenate(head_ctx, axis=1)                    # [Tn, C]
+        ctx = ctx + jnp.dot(p, vq * hmask,
+                            preferred_element_type=jnp.float32)
     attn_out = jnp.dot(ctx, ow_ref[:],
                        preferred_element_type=jnp.float32) + ob_ref[:]
 

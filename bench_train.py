@@ -1,0 +1,105 @@
+"""Training throughput benchmark: scenes/sec/chip for the full supervised
+step (backbone + decoder + losses + AdamW) at the canonical batch size.
+
+The reference publishes no training throughput (SURVEY.md section 6);
+BASELINE.md asks to measure & report. Prints one JSON line to stdout.
+Separate from bench.py so the driver's latency benchmark stays fast.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(batch_size=5, n_points=150000):
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+    from agile3d_tpu.config import Config, TrainConfig
+    from agile3d_tpu.data.datasets import SceneSample, collate_scenes
+    from agile3d_tpu.engine.eval import InteractiveEngine
+    from agile3d_tpu.engine.train import make_optimizer, make_train_step
+    from agile3d_tpu.models.agile3d import ClickState, init_agile3d
+    from agile3d_tpu.sparse.quantize import sparse_quantize
+    from tests.synthetic import make_scene
+
+    def fence(x):
+        return float(jax.tree_util.tree_leaves(x)[0].reshape(-1)[0]
+                     .astype("float32"))
+
+    cfg = Config(train=TrainConfig(batch_size=batch_size))
+    rng = np.random.default_rng(0)
+    samples = []
+    for i in range(batch_size):
+        coords, colors, labels = make_scene(rng, n_points=n_points,
+                                            num_obj=6, extent=6.0)
+        coords += rng.standard_normal(coords.shape).astype(np.float32) * 0.03
+        vox, umap, imap = sparse_quantize(coords, 0.05)
+        samples.append(SceneSample(
+            vox, coords[umap], colors[umap].astype(np.float32) / 255,
+            labels[umap].astype(np.int32), labels.astype(np.int32), imap,
+            {}, f"s{i}", 6))
+    batch = collate_scenes(samples, cfg.buckets)
+    total_vox = int(sum(len(s.vox_coords) for s in samples))
+    print(f"train batch: {batch_size} scenes, {total_vox} voxels "
+          f"(flat bucket {batch.pyramid.levels[0].grid.shape[0]})",
+          file=sys.stderr)
+
+    params, buffers, bn_state = init_agile3d(jax.random.PRNGKey(0), cfg.model)
+    tx, _ = make_optimizer(cfg, steps_per_epoch=100)
+    opt_state = tx.init(params)
+    train_step = make_train_step(cfg, tx)
+    engine = InteractiveEngine(cfg)
+    pyr, feats, raw, si = engine.device_batch(batch)
+
+    mc = 64
+    vox_c = np.full((batch_size, mc), -1, np.int32)
+    obj_c = np.zeros((batch_size, mc), np.int32)
+    tim_c = np.zeros((batch_size, mc), np.int32)
+    for i in range(batch_size):
+        nv = int((batch.sample_idx[i] >= 0).sum())
+        vox_c[i, :12] = rng.integers(0, nv, 12)
+        # every object gets at least one click (the training rollout
+        # guarantees this; an unclicked object's NEG mask column under its
+        # own gt points would blow up the CE)
+        obj_c[i, :12] = (np.arange(12) % 6) + 1
+        obj_c[i, 11] = 0
+        tim_c[i, :12] = np.arange(12)
+    clicks = ClickState(jnp.asarray(vox_c), jnp.asarray(obj_c),
+                        jnp.asarray(tim_c))
+    labels = jnp.asarray(batch.labels)
+    num_obj = jnp.asarray(batch.num_obj)
+
+    t0 = time.time()
+    out = train_step(params, buffers, bn_state, opt_state, pyr, feats, raw,
+                     si, clicks, labels, num_obj)
+    fence(out[3])
+    print(f"train step compile+first: {time.time() - t0:.1f}s",
+          file=sys.stderr)
+
+    iters = 10
+    p, bs, os_ = params, bn_state, opt_state
+    t0 = time.time()
+    for _ in range(iters):
+        p, bs, os_, tot, losses, gnorm, miou = train_step(
+            p, buffers, bs, os_, pyr, feats, raw, si, clicks, labels,
+            num_obj)
+    fence(tot)
+    step_s = (time.time() - t0) / iters
+    print(f"train step steady: {step_s * 1000:.1f} ms, loss {float(tot):.4f}",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "train_scenes_per_sec_per_chip",
+        "value": round(batch_size / step_s, 2),
+        "unit": "scenes/s",
+        "vs_baseline": None,
+    }))
+
+
+if __name__ == "__main__":
+    main()
