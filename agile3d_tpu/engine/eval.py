@@ -66,6 +66,19 @@ class InteractiveEngine:
             pred = jnp.argmax(out["pred_masks"], axis=-1).astype(jnp.int32)
             return out, pred
 
+        @jax.jit
+        def _val_losses(all_masks, scene, labels, clicks):
+            """Per-round validation losses (reference engine.py:236-246)."""
+            from agile3d_tpu.models.criterion import (
+                click_loss_weights, criterion_forward)
+
+            target = jnp.maximum(labels, 0)
+            vox_valid = scene.vox_valid & (labels >= 0)
+            weights = click_loss_weights(scene.raw, vox_valid, clicks.vox,
+                                         clicks.vox >= 0, cfg.loss)
+            return criterion_forward(all_masks, target, weights, vox_valid,
+                                     cfg.loss)
+
         @functools.partial(jax.jit, static_argnames=("max_obj",))
         def _scene_iou(pred_full, labels_full, valid, max_obj):
             ious, present = iou_per_object(pred_full, labels_full, valid,
@@ -76,6 +89,7 @@ class InteractiveEngine:
         self._backbone = _backbone
         self._mask = _mask
         self._scene_iou = _scene_iou
+        self._val_losses = _val_losses
         self._dev_cache_key = None
         self._dev_cache = None
 
@@ -143,9 +157,12 @@ def evaluate_scene(
     rng: random.Random,
     max_num_clicks: int = 20,
     skip_converged: bool = True,
+    loss_meter=None,
 ) -> list[str]:
     """Run the full click rollout for one scene (batch size 1). Returns CSV
-    rows ``id scene obj clicks iou``."""
+    rows ``id scene obj clicks iou``. When ``loss_meter`` (a MetricLogger)
+    is given, per-round validation losses are accumulated into it
+    (reference engine.py:236-246)."""
     assert len(batch.scene_names) == 1, "eval runs val_batch_size=1"
     cfg = engine.cfg
     scene, _ = engine.run_backbone(params, buffers, bn_state, batch)
@@ -167,10 +184,29 @@ def evaluate_scene(
         if current == 0:
             pred = np.zeros(n_valid, np.int32)
         elif converged_iou is None:
-            _, pred_dev = engine.run_mask(params, buffers, scene, clicks,
-                                          num_obj)
+            out, pred_dev = engine.run_mask(params, buffers, scene, clicks,
+                                            num_obj)
             pred = np.asarray(pred_dev[0])[:n_valid].copy()
             pred = apply_click_override(pred, clicks)
+            if loss_meter is not None:
+                mc = engine._click_bucket(clicks.count)
+                cs = ClickState(vox=jnp.asarray(clicks.vox[None, :mc]),
+                                obj=jnp.asarray(clicks.obj[None, :mc]),
+                                time=jnp.asarray(clicks.time[None, :mc]))
+                labels_pad = np.full(scene.mask_feat.shape[1], -1, np.int32)
+                labels_pad[:n_valid] = labels_v
+                losses = engine._val_losses(
+                    out["all_masks"], scene, jnp.asarray(labels_pad[None]),
+                    cs)
+                from agile3d_tpu.models.criterion import (
+                    loss_weight_dict, total_loss)
+
+                wd = loss_weight_dict(
+                    cfg.loss, num_aux_rounds=cfg.model.num_decoders - 1)
+                loss_meter.update(
+                    loss=float(total_loss(losses, wd)),
+                    loss_bce=float(losses["loss_bce"]),
+                    loss_dice=float(losses["loss_dice"]))
 
         if converged_iou is None:
             iou = engine.scene_iou(pred, batch.inverse_map[0],
@@ -212,6 +248,7 @@ def evaluate_dataset(
     seed: int = 42,
     log=print,
     progress_every: int = 10,
+    loss_meter=None,
 ):
     """Reference Evaluate() driver: sequential scenes, one CSV, then the
     offline evaluator is run by the caller."""
@@ -221,7 +258,8 @@ def evaluate_dataset(
             batch = collate_scenes([dataset[i]], engine.cfg.buckets)
             rows = evaluate_scene(
                 engine, params, buffers, bn_state, batch, mode=mode,
-                instance_id=i, rng=rng, max_num_clicks=max_num_clicks)
+                instance_id=i, rng=rng, max_num_clicks=max_num_clicks,
+                loss_meter=loss_meter)
             f.write("\n".join(rows) + "\n")
             if progress_every and i % progress_every == 0:
                 last = rows[-1].split(" ")

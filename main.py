@@ -166,16 +166,21 @@ def main(args):
                                 bn_state, opt_state, epoch)
 
         if (epoch + 1) % args.val_epochs == 0:
+            from agile3d_tpu.utils.misc import MetricLogger
+
             csv = str(val_dir / f"val_results_epoch_{epoch}.csv")
+            val_meter = MetricLogger()
             evaluate_dataset(engine, params, buffers, bn_state, dataset_val,
                              csv, mode="multi",
                              max_num_clicks=args.max_num_clicks,
-                             seed=args.seed)
+                             seed=args.seed, loss_meter=val_meter)
             res = EvaluatorMO(args.val_list, csv,
                               [0.5, 0.65, 0.8, 0.85, 0.9]).eval_results()
-            print(res)
+            print(res, str(val_meter))
             wandb.log({f"val_metrics/{k.replace('@', '_')}": v
                        for k, v in res.items()})
+            wandb.log({f"val/{k}_epoch": m.global_avg
+                       for k, m in val_meter.meters.items()})
 
     total = str(datetime.timedelta(seconds=int(time.time() - start_time)))
     print(f"Training time {total}")

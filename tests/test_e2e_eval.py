@@ -111,3 +111,20 @@ def test_ply_roundtrip(tmp_path):
     write_ply(p, fields, faces=faces)
     back, f2 = read_ply(p, with_faces=True)
     np.testing.assert_array_equal(f2, faces)
+
+
+def test_eval_loss_meter(bench, tmp_path):
+    from agile3d_tpu.utils.misc import MetricLogger
+
+    scans, val_list = bench
+    ds = InterMultiObjDataset(scans, val_list, 0.05)
+    params, buffers, state = init_agile3d(jax.random.PRNGKey(0), CFG.model)
+    engine = InteractiveEngine(CFG)
+    meter = MetricLogger()
+    evaluate_dataset(engine, params, buffers, state, ds,
+                     str(tmp_path / "r.csv"), mode="multi", max_num_clicks=2,
+                     log=lambda *a: None, loss_meter=meter)
+    assert meter.meters["loss"].count > 0
+    assert np.isfinite(meter.meters["loss"].global_avg)
+    assert np.isfinite(meter.meters["loss_bce"].global_avg)
+    assert np.isfinite(meter.meters["loss_dice"].global_avg)
