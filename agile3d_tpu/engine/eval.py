@@ -249,17 +249,28 @@ def evaluate_dataset(
     log=print,
     progress_every: int = 10,
     loss_meter=None,
+    device_rollout: bool = False,
 ):
     """Reference Evaluate() driver: sequential scenes, one CSV, then the
-    offline evaluator is run by the caller."""
+    offline evaluator is run by the caller. device_rollout=True runs the
+    click rounds as one on-device lax.scan per scene
+    (engine/device_eval.py) instead of the host loop."""
     rng = random.Random(seed)
     with open(results_file, "w") as f:
         for i in range(len(dataset)):
             batch = collate_scenes([dataset[i]], engine.cfg.buckets)
-            rows = evaluate_scene(
-                engine, params, buffers, bn_state, batch, mode=mode,
-                instance_id=i, rng=rng, max_num_clicks=max_num_clicks,
-                loss_meter=loss_meter)
+            if device_rollout:
+                from agile3d_tpu.engine.device_eval import (
+                    evaluate_scene_device)
+
+                rows = evaluate_scene_device(
+                    engine, params, buffers, bn_state, batch, mode=mode,
+                    instance_id=i, rng=rng, max_num_clicks=max_num_clicks)
+            else:
+                rows = evaluate_scene(
+                    engine, params, buffers, bn_state, batch, mode=mode,
+                    instance_id=i, rng=rng, max_num_clicks=max_num_clicks,
+                    loss_meter=loss_meter)
             f.write("\n".join(rows) + "\n")
             if progress_every and i % progress_every == 0:
                 last = rows[-1].split(" ")

@@ -32,6 +32,9 @@ def get_args_parser():
     p.add_argument("--max_num_clicks", default=20, type=int)
     p.add_argument("--max_clicks_budget", default=256, type=int,
                    help="static click-table capacity (padded)")
+    p.add_argument("--device_rollout", action="store_true",
+                   help="run click rounds as one on-device lax.scan per "
+                        "scene instead of the host loop")
     return p
 
 
@@ -55,7 +58,7 @@ def main(args):
     engine = InteractiveEngine(cfg)
     evaluate_dataset(engine, params, buffers, bn_state, dataset, results_file,
                      mode="multi", max_num_clicks=args.max_num_clicks,
-                     seed=args.seed)
+                     seed=args.seed, device_rollout=args.device_rollout)
 
     evaluator = EvaluatorMO(args.val_list, results_file,
                             [0.5, 0.65, 0.8, 0.85, 0.9])
