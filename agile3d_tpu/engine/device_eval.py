@@ -217,7 +217,10 @@ def evaluate_scene_device(engine, params, buffers, bn_state, batch, *,
     fv = np.zeros(nf_pad, bool)
     fv[:nf] = True
 
-    key = (rounds_pad, n, nf_pad, clicks.max_clicks)
+    # click-table bucket: the scan adds at most one click per round
+    mc = engine._click_bucket(clicks.count + rounds_pad)
+
+    key = (rounds_pad, n, nf_pad, mc)
     cache = getattr(engine, "_device_rollouts", None)
     if cache is None:
         cache = engine._device_rollouts = {}
@@ -226,8 +229,8 @@ def evaluate_scene_device(engine, params, buffers, bn_state, batch, *,
     rollout = cache[key]
 
     ious, _ = rollout(
-        params, buffers, scene, jnp.asarray(clicks.vox),
-        jnp.asarray(clicks.obj), jnp.asarray(clicks.time),
+        params, buffers, scene, jnp.asarray(clicks.vox[:mc]),
+        jnp.asarray(clicks.obj[:mc]), jnp.asarray(clicks.time[:mc]),
         jnp.asarray(clicks.count, jnp.int32), jnp.asarray(num_obj, jnp.int32),
         jnp.asarray(labels_pad), jnp.asarray(lf),
         jnp.asarray(inv.astype(np.int32)), jnp.asarray(fv))
