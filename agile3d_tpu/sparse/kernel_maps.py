@@ -62,6 +62,36 @@ def kernel_offsets(kernel_size: int) -> np.ndarray:
 KERNEL_OFFSETS_CACHE = {k: kernel_offsets(k) for k in (2, 3, 5)}
 
 
+def me_kernel_perm(kernel_size: int) -> np.ndarray:
+    """Permutation aligning MinkowskiEngine kernel-weight slices with our
+    ``kernel_offsets`` enumeration: ``ours[i] = me_kernel[perm[i]]``.
+
+    Derivation (ME source semantics, not empirical): ME's C++ region
+    iterator (MinkowskiEngine ``src/kernel_region.hpp``,
+    ``kernel_region_iterator::operator++`` for REGION_TYPE::HYPER_CUBE)
+    increments the FIRST spatial axis each step and carries into later
+    axes on overflow — i.e. kernel offsets enumerate column-major, first
+    axis fastest, each axis running lower-bound..upper-bound (centered
+    for odd sizes, [0, k) for even sizes). Our ``kernel_offsets`` uses
+    itertools.product order (last axis fastest, C-order). The two are
+    digit-reversals of each other, so perm[i] is our offset i's index in
+    the column-major flattening.
+
+    If a released reference checkpoint disagrees (e.g. a different ME
+    version), tools/calibrate_kernel_order.py searches all 48 signed axis
+    relabelings empirically and emits the corrected table.
+    """
+    offs = kernel_offsets(kernel_size)
+    ix = offs - offs.min(axis=0)  # per-axis grid index in [0, k)
+    k = kernel_size
+    return (ix[:, 0] + ix[:, 1] * k + ix[:, 2] * k * k).astype(np.int64)
+
+
+# kernel-volume -> perm table used by the checkpoint converter
+# (utils/ckpt.convert_torch_state_dict); keys are K = kernel_size**3.
+ME_KERNEL_PERM = {k ** 3: me_kernel_perm(k) for k in (2, 3, 5)}
+
+
 @dataclasses.dataclass
 class LevelMaps:
     """One pyramid level (stride 2^level)."""

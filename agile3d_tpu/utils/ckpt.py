@@ -50,7 +50,7 @@ def load_checkpoint(path, template: dict):
 
 
 def load_model_weights(path: str, cfg: ModelConfig = ModelConfig(),
-                       kernel_perm: dict | None = None):
+                       kernel_perm: dict | str | None = "me"):
     """Load (params, buffers, bn_state) from either a reference .pth
     checkpoint (converted on the fly; torch needed only here) or an
     orbax directory saved by save_checkpoint."""
@@ -110,23 +110,39 @@ def _bn(sd, prefix):
     return params, state
 
 
+def _resolve_perm(kernel_perm):
+    """None -> identity; "me" -> the derived ME enumeration table
+    (sparse/kernel_maps.ME_KERNEL_PERM); dict -> as given."""
+    if kernel_perm is None:
+        return {}
+    if kernel_perm == "me":
+        from agile3d_tpu.sparse.kernel_maps import ME_KERNEL_PERM
+
+        return ME_KERNEL_PERM
+    return kernel_perm
+
+
 def _kernel(sd, name, kernel_perm=None):
     k = np.asarray(sd[name])
-    if k.ndim == 3 and kernel_perm is not None and k.shape[0] in kernel_perm:
+    if k.ndim == 3 and kernel_perm and k.shape[0] in kernel_perm:
         k = k[kernel_perm[k.shape[0]]]
     return k
 
 
 def convert_torch_state_dict(sd: dict, cfg: ModelConfig = ModelConfig(),
-                             kernel_perm: dict | None = None):
+                             kernel_perm: dict | str | None = "me"):
     """Returns (params, buffers, bn_state) matching init_agile3d's trees.
 
     ``sd`` is the reference checkpoint's ['model'] dict with numpy values
     (load with torch.load(..., map_location='cpu') and call .numpy()).
-    ``kernel_perm`` optionally permutes sparse-conv kernel slices per kernel
-    volume {8: perm, 27: perm, 125: perm} to align ME's offset enumeration
-    with sparse/kernel_maps.kernel_offsets.
+    ``kernel_perm`` permutes sparse-conv kernel slices per kernel volume
+    {8: perm, 27: perm, 125: perm} to align ME's offset enumeration with
+    sparse/kernel_maps.kernel_offsets. The default "me" applies the
+    permutation derived from ME's kernel_region iterator semantics
+    (sparse/kernel_maps.me_kernel_perm); pass None for identity or an
+    explicit table from tools/calibrate_kernel_order.py.
     """
+    kernel_perm = _resolve_perm(kernel_perm)
     bb_cfg = cfg.backbone
     planes, layers = bb_cfg.planes, bb_cfg.layers
 
@@ -207,9 +223,24 @@ def convert_torch_state_dict(sd: dict, cfg: ModelConfig = ModelConfig(),
     return params, buffers, bs
 
 
-def export_torch_state_dict(params, buffers, cfg: ModelConfig, bn_state):
-    """Inverse mapping (for round-trip tests and torch interop)."""
+def export_torch_state_dict(params, buffers, cfg: ModelConfig, bn_state,
+                            kernel_perm: dict | str | None = "me"):
+    """Inverse mapping (for round-trip tests and torch interop). Conv
+    kernels are emitted in ME enumeration order (the inverse of
+    ``kernel_perm``), so exported dicts interoperate with the reference."""
+    kernel_perm = _resolve_perm(kernel_perm)
+    inv_perm = {}
+    for vol, perm in kernel_perm.items():
+        inv = np.empty_like(np.asarray(perm))
+        inv[np.asarray(perm)] = np.arange(len(inv))
+        inv_perm[vol] = inv
     sd = {}
+
+    def kern(w):
+        w = np.asarray(w)
+        if w.ndim == 3 and w.shape[0] in inv_perm:
+            w = w[inv_perm[w.shape[0]]]
+        return w
 
     def put_bn(prefix, p, s):
         sd[f"{prefix}.bn.weight"] = np.asarray(p["scale"])
@@ -218,28 +249,28 @@ def export_torch_state_dict(params, buffers, cfg: ModelConfig, bn_state):
         sd[f"{prefix}.bn.running_var"] = np.asarray(s.var)
 
     bp, bs = params["backbone"], bn_state
-    sd["backbone.conv0p1s1.kernel"] = np.asarray(bp["conv0p1s1"]["w"])
+    sd["backbone.conv0p1s1.kernel"] = kern(bp["conv0p1s1"]["w"])
     put_bn("backbone.bn0", bp["bn0"], bs["bn0"])
     down_names = ["conv1p1s2", "conv2p2s2", "conv3p4s2", "conv4p8s2"]
     tr_names = ["convtr4p16s2", "convtr5p8s2", "convtr6p4s2", "convtr7p2s2"]
     for i, name in enumerate(down_names):
-        sd[f"backbone.{name}.kernel"] = np.asarray(bp[f"conv{i+1}"]["w"])
+        sd[f"backbone.{name}.kernel"] = kern(bp[f"conv{i+1}"]["w"])
         put_bn(f"backbone.bn{i+1}", bp[f"bn{i+1}"], bs[f"bn{i+1}"])
     for stage in range(1, 9):
         for j, (p, s) in enumerate(zip(bp[f"block{stage}"], bs[f"block{stage}"])):
             pre = f"backbone.block{stage}.{j}"
-            sd[f"{pre}.conv1.kernel"] = np.asarray(p["conv1"]["w"])
-            sd[f"{pre}.conv2.kernel"] = np.asarray(p["conv2"]["w"])
+            sd[f"{pre}.conv1.kernel"] = kern(p["conv1"]["w"])
+            sd[f"{pre}.conv2.kernel"] = kern(p["conv2"]["w"])
             put_bn(f"{pre}.norm1", p["norm1"], s["norm1"])
             put_bn(f"{pre}.norm2", p["norm2"], s["norm2"])
             if "downsample" in p:
-                sd[f"{pre}.downsample.0.kernel"] = np.asarray(
+                sd[f"{pre}.downsample.0.kernel"] = kern(
                     p["downsample"]["conv"]["w"])
                 put_bn(f"{pre}.downsample.1", p["downsample"]["norm"],
                        s["downsample_norm"])
     for j, name in enumerate(tr_names):
         i = 4 + j
-        sd[f"backbone.{name}.kernel"] = np.asarray(bp[f"convtr{i}"]["w"])
+        sd[f"backbone.{name}.kernel"] = kern(bp[f"convtr{i}"]["w"])
         put_bn(f"backbone.bntr{i}", bp[f"bntr{i}"], bs[f"bntr{i}"])
 
     sd["lin_squeeze_head.kernel"] = np.asarray(params["lin_squeeze"]["w"])

@@ -162,3 +162,137 @@ class TorchRefDecoder:
             masks, attn_mask = self._mask_module(fg_q, bg_q, src, fg_split)
             preds.append(masks.numpy())
         return preds
+
+
+# ---------------------------------------------------------------------------
+# Pure-torch Res16UNet emulation over kernel maps (no MinkowskiEngine):
+# sparse conv = gather + einsum, weights in ME kernel enumeration order.
+# Mirrors the reference wiring (reference models/res16unet.py:26-295,
+# models/modules/resnet_block.py:48-64) so the JAX backbone + checkpoint
+# converter can be parity-tested end to end: an exported ME-layout
+# state_dict must produce identical activations through both stacks.
+# ---------------------------------------------------------------------------
+
+from agile3d_tpu.sparse.kernel_maps import ME_KERNEL_PERM  # noqa: E402
+
+
+def sp_conv_torch(x, nbr, w_me):
+    """out[m] = sum_j x[nbr[m, j]] @ w_me[ME_KERNEL_PERM[j]].
+
+    ``nbr`` columns follow kernel_maps.kernel_offsets (product) order;
+    ``w_me`` slices follow ME's column-major enumeration, so column j uses
+    kernel slice perm[j] — exactly how ME pairs offsets with weights."""
+    perm = ME_KERNEL_PERM.get(w_me.shape[0])
+    out = x.new_zeros((nbr.shape[0], w_me.shape[2]))
+    for j in range(nbr.shape[1]):
+        idx = torch.from_numpy(np.ascontiguousarray(nbr[:, j])).long()
+        g = torch.where((idx >= 0)[:, None], x[idx.clamp(min=0)],
+                        x.new_zeros(()))
+        k = int(perm[j]) if perm is not None else j
+        out = out + g @ w_me[k]
+    return out
+
+
+def sp_conv_tr_torch(x_coarse, up_parent, up_offset, w_me):
+    """Kernel-2 stride-2 transposed conv: fine voxel takes its parent's
+    features through kernel element up_offset (our enumeration)."""
+    perm = ME_KERNEL_PERM[w_me.shape[0]]
+    parent = torch.from_numpy(np.ascontiguousarray(up_parent)).long()
+    off = torch.from_numpy(np.ascontiguousarray(up_offset)).long()
+    g = torch.where((parent >= 0)[:, None], x_coarse[parent.clamp(min=0)],
+                    x_coarse.new_zeros(()))
+    out = x_coarse.new_zeros((g.shape[0], w_me.shape[2]))
+    for k in range(w_me.shape[0]):
+        sel = off == k
+        out[sel] = g[sel] @ w_me[int(perm[k])]
+    return out
+
+
+def _bn_from_sd(sd, prefix, momentum=0.02):
+    c = sd[f"{prefix}.bn.weight"].shape[0]
+    m = nn.BatchNorm1d(c, momentum=momentum)
+    with torch.no_grad():
+        m.weight.copy_(torch.from_numpy(np.asarray(sd[f"{prefix}.bn.weight"])))
+        m.bias.copy_(torch.from_numpy(np.asarray(sd[f"{prefix}.bn.bias"])))
+        m.running_mean.copy_(torch.from_numpy(
+            np.asarray(sd[f"{prefix}.bn.running_mean"])))
+        m.running_var.copy_(torch.from_numpy(
+            np.asarray(sd[f"{prefix}.bn.running_var"])))
+    return m
+
+
+class TorchRefBackbone:
+    """Res16UNet (basic-block variants) from an ME-layout state_dict.
+
+    forward(feats, pyramid, training) -> (fmaps, intermediates) where fmaps
+    is the 5-level FPN [stride16, 8, 4, 2, 1] matching the reference's
+    out_fpn=True (reference models/res16unet.py:250-295)."""
+
+    def __init__(self, sd, layers=(2, 3, 4, 6, 2, 2, 2, 2)):
+        self.sd = {k: np.asarray(v) for k, v in sd.items()}
+        self.layers = layers
+        self.bns = {}
+        for key in self.sd:
+            if key.endswith(".bn.weight"):
+                self.bns[key[: -len(".bn.weight")]] = _bn_from_sd(
+                    self.sd, key[: -len(".bn.weight")])
+
+    def _w(self, name):
+        return torch.from_numpy(self.sd[f"{name}.kernel"])
+
+    def _bn(self, name, x, training):
+        m = self.bns[name]
+        m.train(training)
+        return m(x)
+
+    def _block(self, prefix, x, k3, training):
+        """BasicBlock (reference resnet_block.py:48-64)."""
+        residual = x
+        out = sp_conv_torch(x, k3, self._w(f"{prefix}.conv1"))
+        out = F.relu(self._bn(f"{prefix}.norm1", out, training))
+        out = sp_conv_torch(out, k3, self._w(f"{prefix}.conv2"))
+        out = self._bn(f"{prefix}.norm2", out, training)
+        if f"{prefix}.downsample.0.kernel" in self.sd:
+            residual = x @ torch.from_numpy(
+                self.sd[f"{prefix}.downsample.0.kernel"])
+            residual = self._bn(f"{prefix}.downsample.1", residual, training)
+        return F.relu(out + residual)
+
+    def _stage(self, stage, x, k3, training):
+        for j in range(self.layers[stage - 1]):
+            x = self._block(f"backbone.block{stage}.{j}", x, k3, training)
+        return x
+
+    @torch.no_grad()
+    def forward(self, feats, pyr, training=False):
+        lv = pyr.levels
+        rec = {}
+        x = torch.from_numpy(np.asarray(feats, np.float32))
+        out = sp_conv_torch(x, lv[0].k5, self._w("backbone.conv0p1s1"))
+        out_p1 = F.relu(self._bn("backbone.bn0", out, training))
+        rec["stem"] = out_p1.numpy()
+
+        skips = [out_p1]
+        out = out_p1
+        down = ["conv1p1s2", "conv2p2s2", "conv3p4s2", "conv4p8s2"]
+        for i in range(4):
+            out = sp_conv_torch(out, lv[i].down,
+                                self._w(f"backbone.{down[i]}"))
+            out = F.relu(self._bn(f"backbone.bn{i+1}", out, training))
+            out = self._stage(i + 1, out, lv[i + 1].k3, training)
+            rec[f"down{i+1}"] = out.numpy()
+            skips.append(out)
+
+        fmaps = [out]
+        tr = ["convtr4p16s2", "convtr5p8s2", "convtr6p4s2", "convtr7p2s2"]
+        for j in range(4):
+            i = 4 + j
+            tgt = 3 - j
+            out = sp_conv_tr_torch(out, lv[tgt].up_parent, lv[tgt].up_offset,
+                                   self._w(f"backbone.{tr[j]}"))
+            out = F.relu(self._bn(f"backbone.bntr{i}", out, training))
+            out = torch.cat([out, skips[tgt]], dim=1)
+            out = self._stage(i + 1, out, lv[tgt].k3, training)
+            rec[f"up{i+1}"] = out.numpy()
+            fmaps.append(out)
+        return [f.numpy() for f in fmaps], rec

@@ -31,19 +31,27 @@ import numpy as np
 
 
 def candidate_perms(kernel_size: int):
-    """All signed axis relabelings of the offset cube: for each of the 6
-    axis orders x 8 sign patterns, the permutation mapping our
-    kernel_offsets() order onto the relabeled traversal."""
+    """All signed axis relabelings of the hypothesized ME traversal.
+
+    The base hypothesis is the analytic ME order (column-major, first axis
+    fastest — kernel_maps.me_kernel_perm); each candidate (axes, signs)
+    relabels that traversal's axes. The returned perm maps our
+    kernel_offsets() order onto the candidate: ours[i] = ckpt[perm[i]].
+    Identity (axes=(0,1,2), signs=(1,1,1)) == the analytic default."""
     from agile3d_tpu.sparse.kernel_maps import kernel_offsets
 
-    base = kernel_offsets(kernel_size)
-    index = {tuple(o): i for i, o in enumerate(base)}
+    ours = kernel_offsets(kernel_size)
+    me_base = ours[:, ::-1].copy()  # reversed-axis product == x fastest
+    # rows of me_base in enumeration order j hold offset (x,y,z)? No:
+    # product order varies the LAST tuple slot fastest; reversing columns
+    # makes slot 0 (x) the fastest-varying, i.e. ME's column-major walk.
     out = {}
     for axes in itertools.permutations(range(3)):
         for signs in itertools.product((1, -1), repeat=3):
-            remapped = base[:, list(axes)] * np.array(signs)
+            cand = me_base[:, list(axes)] * np.array(signs)
+            index = {tuple(o): j for j, o in enumerate(cand)}
             try:
-                perm = np.array([index[tuple(o)] for o in remapped])
+                perm = np.array([index[tuple(o)] for o in ours])
             except KeyError:  # even kernels aren't sign-symmetric
                 continue
             out[(axes, signs)] = perm
@@ -87,11 +95,25 @@ def main():
 
     axes, signs = best[0]
     print(f"\nBest: axes={axes} signs={signs} (err {best[1]:.6f})")
-    print("kernel_perm for k=125:", best[2].tolist())
-    print("Derive k=27 and k=8 perms with the same (axes, signs) via "
-          "candidate_perms(3)/(2), and pass "
-          "kernel_perm={125: ..., 27: ..., 8: ...} to "
-          "convert_torch_state_dict / load_model_weights.")
+
+    # Full table: same (axes, signs) relabeling applied per kernel size.
+    # The relabeling candidates are composed on top of the analytic ME
+    # default (kernel_maps.me_kernel_perm); identity relabeling == default.
+    from agile3d_tpu.sparse.kernel_maps import me_kernel_perm
+
+    table = {}
+    for ksz in (5, 3, 2):
+        cands = candidate_perms(ksz)
+        if (axes, signs) in cands:
+            table[ksz ** 3] = cands[(axes, signs)].tolist()
+    print("kernel_perm table:", table)
+    if axes == (0, 1, 2) and signs == (1, 1, 1):
+        print("=> matches the analytic default (me_kernel_perm); "
+              "no override needed.")
+    else:
+        print("=> DIFFERS from the analytic default; pass this table as "
+              "kernel_perm= to convert_torch_state_dict / "
+              "load_model_weights.")
 
 
 if __name__ == "__main__":
