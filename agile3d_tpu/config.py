@@ -26,6 +26,11 @@ class BackboneConfig:
     bn_momentum: float = 0.02           # main.py:38
     dilations: Sequence[int] = (1, 1, 1, 1)
     block: str = "basic"                # 'basic' | 'bottleneck'
+    # Run each stage's identical tail blocks as one lax.scan over stacked
+    # params (smaller HLO). Off by default: measured 3.5x SLOWER XLA:CPU
+    # compile (nested scan optimization cost outweighs the HLO shrink);
+    # kept as a knob for TPU compile experiments.
+    scan_blocks: bool = False
 
     @property
     def expansion(self) -> int:

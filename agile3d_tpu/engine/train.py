@@ -57,13 +57,13 @@ def make_train_step(cfg: Config, tx):
 
     @jax.jit
     def train_step(params, buffers, bn_state, opt_state, pyr, feats, raw,
-                   sample_idx, clicks, labels, num_obj):
+                   sample_idx, clicks, labels, num_obj, dropout_rng=None):
         def loss_fn(p):
             scene, new_bn = forward_backbone(
                 p, buffers, bn_state, pyr, feats, raw, sample_idx,
                 training=True, cfg=cfg.model)
             out = forward_mask(p, buffers, scene, clicks, num_obj,
-                               cfg=cfg.model)
+                               cfg=cfg.model, train_rng=dropout_rng)
             target = jnp.maximum(labels, 0)
             vox_valid = scene.vox_valid & (labels >= 0)
             weights = click_loss_weights(
@@ -106,9 +106,15 @@ def _batch_miou(pred, labels, valid, num_obj, max_obj):
 def subsample_objects(labels_row: np.ndarray, rng: np.random.Generator,
                       max_obj: int = 10):
     """Random object subset + label remap (reference engine.py:56-76);
-    labels_row uses -1 for pad slots."""
+    labels_row uses -1 for pad slots.
+
+    Matches the reference's sampling distribution exactly: only -1 is
+    excluded from the candidate pool (reference engine.py:60-61), so the
+    background region (label 0) CAN be drawn as a foreground object —
+    unselected ids fall back to background in the remapped labels either
+    way (engine.py:67-71)."""
     valid_ids = np.unique(labels_row)
-    valid_ids = valid_ids[(valid_ids != -1) & (valid_ids != 0)]
+    valid_ids = valid_ids[valid_ids != -1]
     if len(valid_ids) == 0:
         return np.where(labels_row >= 0, 0, -1).astype(np.int32), 0
     k = rng.integers(1, min(max_obj, len(valid_ids)) + 1)
@@ -163,8 +169,14 @@ def train_one_epoch(engine, params, buffers, bn_state, opt_state, train_step,
                     dataset, cfg: Config, epoch: int, *,
                     np_rng: np.random.Generator, py_rng: pyrandom.Random,
                     order: np.ndarray | None = None, log=print,
-                    print_freq: int = 10):
-    """One epoch over the dataset with batch assembly on host."""
+                    print_freq: int = 10, device_rollout: bool = False):
+    """One epoch over the dataset with batch assembly on host.
+
+    device_rollout=True replaces the host click-rollout loop (one decoder
+    dispatch + host simulation per round) with a single on-device lax.scan
+    (engine/device_train.py); the resulting click table feeds the supervised
+    step without leaving the device.
+    """
     logger = MetricLogger(log=log)
     bs = cfg.train.batch_size
     n = len(dataset)
@@ -190,27 +202,50 @@ def train_one_epoch(engine, params, buffers, bn_state, opt_state, train_step,
         # supervised pass will use, reference engine.py:53 + :86)
         scene, _ = engine.run_backbone(params, buffers, bn_state, batch,
                                        training=True)
-        raw_per_sample = []
-        off = 0
-        for i in range(b):
-            raw_per_sample.append(batch.raw[off: off + n_valid[i]])
-            off += n_valid[i]
-        clicks = rollout_clicks(engine, params, buffers, scene, labels_new,
-                                num_obj, raw_per_sample, n_valid, py_rng, cfg)
+        if device_rollout:
+            from agile3d_tpu.engine.device_train import (
+                make_device_train_rollout, round_bucket)
 
-        # 3. supervised step (coarse click buckets so the expensive
-        # train-step jit compiles at most twice)
-        mc = 64 if max(c.count for c in clicks) <= 64 else \
-            cfg.model.max_clicks
-        cs = ClickState(
-            vox=jnp.asarray(np.stack([c.vox[:mc] for c in clicks])),
-            obj=jnp.asarray(np.stack([c.obj[:mc] for c in clicks])),
-            time=jnp.asarray(np.stack([c.time[:mc] for c in clicks])))
+            num_iters = py_rng.randint(0, 19)
+            rb = round_bucket(num_iters + 1)
+            cache = getattr(engine, "_train_rollouts", None)
+            if cache is None:
+                cache = engine._train_rollouts = {}
+            if rb not in cache:
+                cache[rb] = make_device_train_rollout(cfg, rb)
+            cs_full, counts = cache[rb](
+                params, buffers, scene, jnp.asarray(labels_new),
+                jnp.asarray(num_obj), jnp.asarray(num_iters, jnp.int32),
+                jax.random.PRNGKey(int(np_rng.integers(2 ** 31))))
+            max_count = int(np.asarray(counts).max())
+            mc = 64 if max_count <= 64 else cfg.model.max_clicks
+            cs = ClickState(vox=cs_full.vox[:, :mc], obj=cs_full.obj[:, :mc],
+                            time=cs_full.time[:, :mc])
+        else:
+            raw_per_sample = []
+            off = 0
+            for i in range(b):
+                raw_per_sample.append(batch.raw[off: off + n_valid[i]])
+                off += n_valid[i]
+            clicks = rollout_clicks(engine, params, buffers, scene,
+                                    labels_new, num_obj, raw_per_sample,
+                                    n_valid, py_rng, cfg)
+
+            # 3. supervised step (coarse click buckets so the expensive
+            # train-step jit compiles at most twice)
+            mc = 64 if max(c.count for c in clicks) <= 64 else \
+                cfg.model.max_clicks
+            cs = ClickState(
+                vox=jnp.asarray(np.stack([c.vox[:mc] for c in clicks])),
+                obj=jnp.asarray(np.stack([c.obj[:mc] for c in clicks])),
+                time=jnp.asarray(np.stack([c.time[:mc] for c in clicks])))
         pyr_dev, feats_dev, raw_dev, si_dev = engine.device_batch(batch)
+        drng = (jax.random.PRNGKey(int(np_rng.integers(2 ** 31)))
+                if cfg.model.dropout > 0 else None)
         params, bn_state, opt_state, tot, losses, gnorm, miou = train_step(
             params, buffers, bn_state, opt_state, pyr_dev, feats_dev,
             raw_dev, si_dev, cs, jnp.asarray(labels_new),
-            jnp.asarray(num_obj))
+            jnp.asarray(num_obj), drng)
 
         tot = float(tot)
         if not np.isfinite(tot):

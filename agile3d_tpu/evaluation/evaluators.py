@@ -104,6 +104,12 @@ class EvaluatorMO:
                 continue
             for acc in accs.values():
                 acc.add(key, clicks_str, iou)
+        # IoU@k keys are the raw CSV string forms. The eval writers emit
+        # f"{current / num_obj}" where current = k * num_obj exactly at
+        # measurement rounds, and IEEE division of small ints is exact, so
+        # the column reads "1.0"/"3.0"/... — the same strings the
+        # reference's dict keys hold (evaluator_MO.py:118-129). Pinned by
+        # tests/test_evaluators.py::test_iou_at_k_key_format.
         return _results_dict(accs, ["1.0", "3.0", "5.0", "10.0", "15.0"],
                              self.thresholds)
 

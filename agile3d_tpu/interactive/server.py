@@ -111,9 +111,11 @@ class InteractiveSegmentationServer:
     # -- the per-click hot path --
 
     def get_next_click(self, click_idx: dict, click_time_idx: dict,
-                      record: bool = True):
+                      record: bool = True, return_voxel: bool = False):
         """One decoder round for the current click set. Returns
-        (pred_full [N_full], mean_iou | None)."""
+        (pred_full [N_full], mean_iou | None) — or, with return_voxel,
+        (pred_vox [N_vox], pred_full, mean_iou | None) so point-cloud
+        clients rendering voxel points can recolor without devoxelizing."""
         from agile3d_tpu.engine.clicks import HostClicks
 
         hc = HostClicks(self.cfg.model.max_clicks)
@@ -136,6 +138,8 @@ class InteractiveSegmentationServer:
                                     self.cfg.model.max_fg_objects)
         if record:
             self._record(click_idx, click_time_idx, pred_full, iou)
+        if return_voxel:
+            return pred, pred_full, iou
         return pred_full, iou
 
     def _record(self, click_idx, click_time_idx, pred_full, iou):

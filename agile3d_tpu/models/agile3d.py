@@ -111,9 +111,11 @@ def init_agile3d(key, cfg: ModelConfig = ModelConfig()):
     }
     params["decoder_norm"] = init_layer_norm(c)
 
+    # one layer set per (decoder, hlevel slot) exactly as the reference's
+    # nested ModuleLists (reference agile3d.py:88-131: c2s_attention[d][i])
     num_sets = 1 if cfg.shared_decoder else cfg.num_decoders
     decoders = []
-    for _ in range(num_sets):
+    for _ in range(num_sets * len(cfg.hlevels)):
         kd = jax.random.split(next(keys), 4)
         decoders.append({
             "c2s": init_attention_layer(kd[0], c),
@@ -236,6 +238,7 @@ def forward_mask(
     num_obj: jax.Array,  # int32 [B]
     *,
     cfg: ModelConfig = ModelConfig(),
+    train_rng=None,
 ):
     """One decoder pass over all click rounds' queries (reference
     agile3d.py:183-339). Returns dict with:
@@ -243,9 +246,25 @@ def forward_mask(
       pred_masks  [B, N, 1 + max_fg_objects] — final round logits
       aux_masks   [R-1, B, N, 1 + max_fg_objects] — intermediate rounds
                   (reference 'aux_outputs', agile3d.py:336-337)
+
+    ``train_rng`` enables dropout (cfg.dropout, reference
+    attention_block.py:16,73,130) — pass None for eval.
+
+    hlevels: refinement rounds run over num_decoders x len(hlevels) with
+    per-(decoder, slot) weights, matching the reference's nested loop
+    (agile3d.py:273-276). Every hlevel entry must be 4 (the finest level):
+    for any other value the REFERENCE ITSELF cannot run — it feeds the
+    coarse level's positional encodings (len N_coarse) as `pos` for the
+    full-resolution src_pcd (len N) into torch MHA (agile3d.py:280-290),
+    a shape error. So repeated-finest (e.g. [4, 4]) is the entire
+    reachable configuration space, and that is what's supported here.
     """
-    if tuple(cfg.hlevels) != (4,):
-        raise NotImplementedError("only the canonical hlevels=[4] is built")
+    if any(h != 4 for h in cfg.hlevels):
+        raise NotImplementedError(
+            "hlevels entries must all be 4: the reference's coarse-hlevel "
+            "path is structurally broken (pos-enc/memory length mismatch, "
+            "reference agile3d.py:280-290), so only repeated-finest "
+            "configurations are reachable and supported")
     b, n, c = scene.mask_feat.shape
     nbq = cfg.num_bg_queries
     heads = cfg.num_heads
@@ -293,25 +312,38 @@ def forward_mask(
         and n % cfg.xla_attn_chunk == 0
         and b * q_total * n * heads > 512_000_000) else 0
     preds = []
+    n_slots = len(cfg.hlevels)
+    drop = cfg.dropout if train_rng is not None else 0.0
+    rngs = (jax.random.split(train_rng, cfg.num_decoders * n_slots * 4)
+            if train_rng is not None and cfg.dropout > 0 else None)
     for r in range(cfg.num_decoders):
-        dp = params["decoders"][0 if cfg.shared_decoder else r]
-        queries = cross_attention_layer(
-            dp["c2s"], queries, src, heads, pos=scene.pos_pcd,
-            query_pos=query_pos, attn_bias=round_bias + vox_key_bias,
-            pre_norm=cfg.pre_norm, chunk_keys=chunk)
-        queries = self_attention_layer(
-            dp["c2c"], queries, heads, query_pos=query_pos,
-            attn_bias=q_key_bias, pre_norm=cfg.pre_norm)
-        queries = ffn_layer(dp["ffn"], queries, pre_norm=cfg.pre_norm)
-        src = cross_attention_layer(
-            dp["s2c"], src, queries, heads, pos=query_pos,
-            query_pos=scene.pos_pcd,
-            attn_bias=jnp.broadcast_to(q_key_bias, (b, n, queries.shape[1])),
-            pre_norm=cfg.pre_norm, chunk_queries=chunk)
-        masks, round_bias = _mask_module(
-            params, queries, src, query_obj, query_valid, col_valid,
-            scene.vox_valid)
-        preds.append(masks)
+        d_idx = 0 if cfg.shared_decoder else r
+        for i in range(n_slots):
+            dp = params["decoders"][d_idx * n_slots + i]
+            rr = ((r * n_slots + i) * 4) if rngs is not None else None
+            rk = lambda j: rngs[rr + j] if rngs is not None else None
+            queries = cross_attention_layer(
+                dp["c2s"], queries, src, heads, pos=scene.pos_pcd,
+                query_pos=query_pos, attn_bias=round_bias + vox_key_bias,
+                pre_norm=cfg.pre_norm, chunk_keys=chunk,
+                dropout_rate=drop, rng=rk(0))
+            queries = self_attention_layer(
+                dp["c2c"], queries, heads, query_pos=query_pos,
+                attn_bias=q_key_bias, pre_norm=cfg.pre_norm,
+                dropout_rate=drop, rng=rk(1))
+            queries = ffn_layer(dp["ffn"], queries, pre_norm=cfg.pre_norm,
+                                dropout_rate=drop, rng=rk(2))
+            src = cross_attention_layer(
+                dp["s2c"], src, queries, heads, pos=query_pos,
+                query_pos=scene.pos_pcd,
+                attn_bias=jnp.broadcast_to(q_key_bias,
+                                           (b, n, queries.shape[1])),
+                pre_norm=cfg.pre_norm, chunk_queries=chunk,
+                dropout_rate=drop, rng=rk(3))
+            masks, round_bias = _mask_module(
+                params, queries, src, query_obj, query_valid, col_valid,
+                scene.vox_valid)
+            preds.append(masks)
 
     return {
         "pred_masks": preds[-1],

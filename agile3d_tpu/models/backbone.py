@@ -226,17 +226,41 @@ def _residual_block(p, s, x, k3, valid, *, training: bool, momentum: float):
     return jax.nn.relu(out + residual), s_new
 
 
-def _stage(p_list, s_list, x, k3, valid, *, training, momentum):
-    s_new = []
+def _stage(p_list, s_list, x, k3, valid, *, training, momentum,
+           scan_blocks=False):
     # per-block rematerialization: the backward pass recomputes each block's
     # activations instead of keeping all 26 blocks' intermediates alive
     # (jax.checkpoint, SURVEY.md TPU design notes on HBM)
     blk = jax.checkpoint(
         functools.partial(_residual_block, training=training,
                           momentum=momentum))
-    for bp, bs in zip(p_list, s_list):
-        x, ns = blk(bp, bs, x, k3, valid)
-        s_new.append(ns)
+    if not scan_blocks:
+        s_new = []
+        for bp, bs in zip(p_list, s_list):
+            x, ns = blk(bp, bs, x, k3, valid)
+            s_new.append(ns)
+        return x, s_new
+
+    # Experimental (cfg.scan_blocks): first block has unique shapes (channel
+    # change + downsample); the identical tail blocks run as ONE lax.scan
+    # over stacked params, shrinking the stage HLO to 2 block bodies.
+    # Measured 3.5x slower XLA:CPU compile, so default-off.
+    x, ns0 = blk(p_list[0], s_list[0], x, k3, valid)
+    s_new = [ns0]
+    tail_p, tail_s = list(p_list[1:]), list(s_list[1:])
+    if not tail_p:
+        return x, s_new
+    stacked_p = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *tail_p)
+    stacked_s = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *tail_s)
+
+    def body(h, ps):
+        p, s = ps
+        h, ns = blk(p, s, h, k3, valid)
+        return h, ns
+
+    x, ns_stacked = jax.lax.scan(body, x, (stacked_p, stacked_s))
+    for i in range(len(tail_p)):
+        s_new.append(jax.tree_util.tree_map(lambda a, i=i: a[i], ns_stacked))
     return x, s_new
 
 
@@ -287,7 +311,8 @@ def backbone_forward(
         out = jax.nn.relu(bn(f"bn{i+1}", out, lv[i + 1].valid))
         out, ns[f"block{i+1}"] = _stage(
             params[f"block{i+1}"], state[f"block{i+1}"], out,
-            lv[i + 1].k3, lv[i + 1].valid, training=training, momentum=mom)
+            lv[i + 1].k3, lv[i + 1].valid, training=training, momentum=mom,
+            scan_blocks=cfg.scan_blocks)
         skips.append(out)
 
     feature_maps = [out]  # stride 16
@@ -302,7 +327,8 @@ def backbone_forward(
         out = jnp.concatenate([out, skips[tgt]], axis=1)
         out, ns[f"block{i+1}"] = _stage(
             params[f"block{i+1}"], state[f"block{i+1}"], out,
-            lv[tgt].k3, lv[tgt].valid, training=training, momentum=mom)
+            lv[tgt].k3, lv[tgt].valid, training=training, momentum=mom,
+            scan_blocks=cfg.scan_blocks)
         feature_maps.append(out)
 
     return feature_maps, ns

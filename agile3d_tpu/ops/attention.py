@@ -41,10 +41,21 @@ def init_mha(key, d_model: int):
     }
 
 
-def mha(params, q_in, k_in, v_in, num_heads: int, attn_bias=None):
+def dropout(x, rate: float, rng):
+    """Inverted dropout; identity when rate == 0 or rng is None (eval —
+    torch nn.Dropout semantics)."""
+    if rate == 0.0 or rng is None:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0)
+
+
+def mha(params, q_in, k_in, v_in, num_heads: int, attn_bias=None,
+        dropout_rate: float = 0.0, rng=None):
     """Batched MHA. q_in [B, Lq, E]; k_in/v_in [B, Lk, E];
     attn_bias [B, Lq, Lk] additive (broadcast over heads, like torch's 2D
-    attn_mask)."""
+    attn_mask). dropout_rate/rng apply torch MHA's attention-probability
+    dropout (train mode only — pass rng=None for eval)."""
     b, lq, e = q_in.shape
     lk = k_in.shape[1]
     hd = e // num_heads
@@ -60,6 +71,7 @@ def mha(params, q_in, k_in, v_in, num_heads: int, attn_bias=None):
     if attn_bias is not None:
         logits = logits + attn_bias[:, None, :, :]
     w = jax.nn.softmax(logits, axis=-1)
+    w = dropout(w, dropout_rate, rng)
     out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(b, lq, e)
     return out @ params["out_w"] + params["out_b"]
 
@@ -161,26 +173,41 @@ def init_ffn_layer(key, d_model: int, dim_feedforward: int):
     return p
 
 
+def _split3(rng):
+    if rng is None:
+        return None, None
+    return jax.random.split(rng)
+
+
 def self_attention_layer(params, tgt, num_heads, *, query_pos=None,
-                         attn_bias=None, pre_norm=False):
+                         attn_bias=None, pre_norm=False,
+                         dropout_rate: float = 0.0, rng=None):
     """reference attention_block.py:28-50 (q = k = tgt + query_pos,
-    value = tgt)."""
+    value = tgt; attn-prob dropout inside MHA + residual dropout)."""
+    r_attn, r_res = _split3(rng)
     if pre_norm:
         t2 = layer_norm(tgt, params["norm"])
         q = t2 if query_pos is None else t2 + query_pos
-        out = mha(params["attn"], q, q, t2, num_heads, attn_bias)
-        return tgt + out
+        out = mha(params["attn"], q, q, t2, num_heads, attn_bias,
+                  dropout_rate, r_attn)
+        return tgt + dropout(out, dropout_rate, r_res)
     q = tgt if query_pos is None else tgt + query_pos
-    out = mha(params["attn"], q, q, tgt, num_heads, attn_bias)
-    return layer_norm(tgt + out, params["norm"])
+    out = mha(params["attn"], q, q, tgt, num_heads, attn_bias,
+              dropout_rate, r_attn)
+    return layer_norm(tgt + dropout(out, dropout_rate, r_res),
+                      params["norm"])
 
 
 def cross_attention_layer(params, tgt, memory, num_heads, *, pos=None,
                           query_pos=None, attn_bias=None, pre_norm=False,
-                          chunk_keys=0, chunk_queries=0):
+                          chunk_keys=0, chunk_queries=0,
+                          dropout_rate: float = 0.0, rng=None):
     """reference attention_block.py:86-113 (q = tgt + query_pos,
     k = memory + pos, value = memory). chunk_keys/chunk_queries select the
-    memory-lean scanned attention for long key/query axes."""
+    memory-lean scanned attention for long key/query axes (these skip the
+    attn-prob dropout — they only engage at eval-scale voxel counts; the
+    residual dropout still applies)."""
+    r_attn, r_res = _split3(rng)
     if chunk_keys:
         attend = lambda q, k, v, b: mha_chunked_keys(
             params["attn"], q, k, v, num_heads, b, chunk_keys)
@@ -188,26 +215,34 @@ def cross_attention_layer(params, tgt, memory, num_heads, *, pos=None,
         attend = lambda q, k, v, b: mha_chunked_queries(
             params["attn"], q, k, v, num_heads, b, chunk_queries)
     else:
-        attend = lambda q, k, v, b: mha(params["attn"], q, k, v, num_heads, b)
+        attend = lambda q, k, v, b: mha(params["attn"], q, k, v, num_heads,
+                                        b, dropout_rate, r_attn)
     if pre_norm:
         t2 = layer_norm(tgt, params["norm"])
         q = t2 if query_pos is None else t2 + query_pos
         k = memory if pos is None else memory + pos
         out = attend(q, k, memory, attn_bias)
-        return tgt + out
+        return tgt + dropout(out, dropout_rate, r_res)
     q = tgt if query_pos is None else tgt + query_pos
     k = memory if pos is None else memory + pos
     out = attend(q, k, memory, attn_bias)
-    return layer_norm(tgt + out, params["norm"])
+    return layer_norm(tgt + dropout(out, dropout_rate, r_res),
+                      params["norm"])
 
 
-def ffn_layer(params, tgt, *, pre_norm=False):
-    """reference attention_block.py:151-161 (relu activation)."""
+def ffn_layer(params, tgt, *, pre_norm=False, dropout_rate: float = 0.0,
+              rng=None):
+    """reference attention_block.py:151-161 (relu activation; dropout after
+    the activation and on the residual)."""
+    r_in, r_res = _split3(rng)
+
+    def inner(x):
+        t2 = jax.nn.relu(x @ params["linear1"]["w"] + params["linear1"]["b"])
+        t2 = dropout(t2, dropout_rate, r_in)
+        return t2 @ params["linear2"]["w"] + params["linear2"]["b"]
+
     if pre_norm:
-        t2 = layer_norm(tgt, params["norm"])
-        t2 = jax.nn.relu(t2 @ params["linear1"]["w"] + params["linear1"]["b"])
-        t2 = t2 @ params["linear2"]["w"] + params["linear2"]["b"]
-        return tgt + t2
-    t2 = jax.nn.relu(tgt @ params["linear1"]["w"] + params["linear1"]["b"])
-    t2 = t2 @ params["linear2"]["w"] + params["linear2"]["b"]
-    return layer_norm(tgt + t2, params["norm"])
+        t2 = inner(layer_norm(tgt, params["norm"]))
+        return tgt + dropout(t2, dropout_rate, r_res)
+    t2 = inner(tgt)
+    return layer_norm(tgt + dropout(t2, dropout_rate, r_res), params["norm"])

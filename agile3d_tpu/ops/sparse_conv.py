@@ -26,8 +26,12 @@ def masked_gather(x: jax.Array, idx: jax.Array) -> jax.Array:
     return jnp.where((idx >= 0)[:, None], x[safe], 0)
 
 
+import os
+
 _UNROLL_MAX_K = 8  # unroll tiny kernels; scan larger ones (compile time)
-_SCAN_GROUP = 4    # kernel offsets gathered per scan step (im2col slab)
+# kernel offsets gathered per scan step (im2col slab width); env override
+# for perf sweeps (tools/bench_backbone_sweep.py)
+_SCAN_GROUP = int(os.environ.get("AGILE3D_SCAN_GROUP", "4"))
 
 
 def sparse_conv(x: jax.Array, nbr: jax.Array, w: jax.Array,

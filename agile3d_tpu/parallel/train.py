@@ -147,3 +147,102 @@ def make_dp_train_step(cfg: Config, tx, mesh: Mesh):
                 place(batch.num_obj))
 
     return train_step, shard_fn, rep_spec
+
+
+def make_dp_rollout(cfg: Config, mesh: Mesh, rounds: int):
+    """Data-parallel training click rollout: per-shard backbone + the
+    on-device rollout scan (engine/device_train.train_rollout_scan), vmapped
+    over the dp axis. Each shard rolls out its own scenes; no cross-shard
+    communication is needed until the supervised step's grad all-reduce."""
+    from agile3d_tpu.engine.device_train import train_rollout_scan
+
+    scan = train_rollout_scan(cfg, rounds)
+
+    @jax.jit
+    def dp_rollout(params, buffers, bn_state, pyr, feats, raw, sample_idx,
+                   labels, num_obj, num_rounds, keys):
+        def per_shard(pyr, feats, raw, si, labels, num_obj, key):
+            scene, _ = forward_backbone(params, buffers, bn_state, pyr,
+                                        feats, raw, si, training=True,
+                                        cfg=cfg.model)
+            return scan(params, buffers, scene, labels, num_obj, num_rounds,
+                        key)
+
+        return jax.vmap(per_shard)(pyr, feats, raw, sample_idx, labels,
+                                   num_obj, keys)
+
+    return dp_rollout
+
+
+def dp_train_one_epoch(cfg: Config, mesh: Mesh, params, buffers, bn_state,
+                       opt_state, train_step, shard_fn, dataset, epoch, *,
+                       np_rng, py_rng, log=print, print_freq: int = 10,
+                       order=None):
+    """One data-parallel epoch: the dp workflow counterpart of
+    engine/train.train_one_epoch. Scenes are sharded dp-ways per step; the
+    rollout runs on-device per shard (make_dp_rollout); metrics are
+    cross-process reduced (utils/misc.synchronize_between_processes
+    supersedes reference utils/misc.py:137-162)."""
+    import numpy as np
+
+    from agile3d_tpu.engine.device_train import round_bucket
+    from agile3d_tpu.engine.train import subsample_objects
+    from agile3d_tpu.utils.misc import MetricLogger
+
+    d = mesh.shape["dp"]
+    bs = cfg.train.batch_size
+    logger = MetricLogger(log=log)
+    n = len(dataset)
+    if order is None:
+        order = np_rng.permutation(n)
+    step_span = bs * d
+    steps = [order[i: i + step_span] for i in range(0, n, step_span)]
+    rollout_cache = {}
+
+    for ids in logger.log_every(steps, print_freq, f"Epoch: [{epoch}] dp"):
+        groups = [[dataset[int(j)] for j in ids[g * bs: (g + 1) * bs]]
+                  for g in range(d)]
+        groups = [g for g in groups if g]
+        while len(groups) < d:          # tail step: reuse shard 0's scenes
+            groups.append(groups[0])
+        batch = collate_sharded(groups, cfg.buckets)
+
+        labels_new = batch.labels.copy()
+        num_obj = np.zeros(batch.num_obj.shape, np.int32)
+        for s in range(d):
+            for i in range(batch.labels.shape[1]):
+                labels_new[s, i], num_obj[s, i] = subsample_objects(
+                    batch.labels[s, i], np_rng, cfg.model.max_fg_objects)
+
+        batch.labels, batch.num_obj = labels_new, num_obj
+        num_iters = py_rng.randint(0, 19)
+        rb = round_bucket(num_iters + 1)
+        if rb not in rollout_cache:
+            rollout_cache[rb] = make_dp_rollout(cfg, mesh, rb)
+        dummy = ClickState(vox=np.zeros((d, 1, 1), np.int32),
+                           obj=np.zeros((d, 1, 1), np.int32),
+                           time=np.zeros((d, 1, 1), np.int32))
+        pyr_d, feats_d, raw_d, si_d, _, labels_d, num_obj_d = shard_fn(
+            batch, dummy)
+        keys = jax.random.split(
+            jax.random.PRNGKey(int(np_rng.integers(2 ** 31))), d)
+        clicks, counts = rollout_cache[rb](
+            params, buffers, bn_state, pyr_d, feats_d, raw_d, si_d,
+            labels_d, num_obj_d, jnp.asarray(num_iters, jnp.int32), keys)
+
+        params, bn_state, opt_state, tot, losses, gnorm = train_step(
+            params, buffers, bn_state, opt_state, pyr_d, feats_d, raw_d,
+            si_d, clicks, labels_d, num_obj_d)
+        tot = float(tot)
+        if not np.isfinite(tot):
+            raise FloatingPointError(
+                f"Loss is {tot}, stopping training "
+                f"(reference engine.py:139-142 guard)")
+        logger.update(loss=tot, grad_norm=float(gnorm),
+                      loss_bce=float(losses["loss_bce"]),
+                      loss_dice=float(losses["loss_dice"]))
+
+    logger.synchronize_between_processes()
+    log(f"Averaged stats: {logger}")
+    stats = {k: m.global_avg for k, m in logger.meters.items()}
+    return params, bn_state, opt_state, stats

@@ -201,17 +201,18 @@ def convert_torch_state_dict(sd: dict, cfg: ModelConfig = ModelConfig(),
     num_sets = 1 if cfg.shared_decoder else cfg.num_decoders
     decoders = []
     for d in range(num_sets):
-        decoders.append({
-            "c2s": {"attn": _mha(sd, f"c2s_attention.{d}.0.multihead_attn"),
-                    "norm": _ln(sd, f"c2s_attention.{d}.0.norm")},
-            "c2c": {"attn": _mha(sd, f"c2c_attention.{d}.0.self_attn"),
-                    "norm": _ln(sd, f"c2c_attention.{d}.0.norm")},
-            "ffn": {"linear1": _linear(sd, f"ffn_attention.{d}.0.linear1"),
-                    "linear2": _linear(sd, f"ffn_attention.{d}.0.linear2"),
-                    "norm": _ln(sd, f"ffn_attention.{d}.0.norm")},
-            "s2c": {"attn": _mha(sd, f"s2c_attention.{d}.0.multihead_attn"),
-                    "norm": _ln(sd, f"s2c_attention.{d}.0.norm")},
-        })
+        for i in range(len(cfg.hlevels)):  # reference agile3d.py:88-131
+            decoders.append({
+                "c2s": {"attn": _mha(sd, f"c2s_attention.{d}.{i}.multihead_attn"),
+                        "norm": _ln(sd, f"c2s_attention.{d}.{i}.norm")},
+                "c2c": {"attn": _mha(sd, f"c2c_attention.{d}.{i}.self_attn"),
+                        "norm": _ln(sd, f"c2c_attention.{d}.{i}.norm")},
+                "ffn": {"linear1": _linear(sd, f"ffn_attention.{d}.{i}.linear1"),
+                        "linear2": _linear(sd, f"ffn_attention.{d}.{i}.linear2"),
+                        "norm": _ln(sd, f"ffn_attention.{d}.{i}.norm")},
+                "s2c": {"attn": _mha(sd, f"s2c_attention.{d}.{i}.multihead_attn"),
+                        "norm": _ln(sd, f"s2c_attention.{d}.{i}.norm")},
+            })
     params["decoders"] = decoders
 
     from agile3d_tpu.ops.pos_enc import positional_encoding_1d
@@ -289,11 +290,13 @@ def export_torch_state_dict(params, buffers, cfg: ModelConfig, bn_state,
     sd["decoder_norm.bias"] = np.asarray(params["decoder_norm"]["bias"])
     sd["pos_enc.gauss_B"] = np.asarray(buffers["gauss_B"])
 
-    for d, dec in enumerate(params["decoders"]):
+    n_slots = len(cfg.hlevels)
+    for flat, dec in enumerate(params["decoders"]):
+        d, i = divmod(flat, n_slots)
         for key, attn_name in (("c2s", "multihead_attn"), ("c2c", "self_attn"),
                                ("s2c", "multihead_attn")):
             a = dec[key]["attn"]
-            pre = f"{key}_attention.{d}.0.{attn_name}"
+            pre = f"{key}_attention.{d}.{i}.{attn_name}"
             sd[f"{pre}.in_proj_weight"] = np.concatenate(
                 [np.asarray(a["q_w"]).T, np.asarray(a["k_w"]).T,
                  np.asarray(a["v_w"]).T], axis=0)
@@ -302,20 +305,20 @@ def export_torch_state_dict(params, buffers, cfg: ModelConfig, bn_state,
                  np.asarray(a["v_b"])])
             sd[f"{pre}.out_proj.weight"] = np.asarray(a["out_w"]).T
             sd[f"{pre}.out_proj.bias"] = np.asarray(a["out_b"])
-            sd[f"{key}_attention.{d}.0.norm.weight"] = np.asarray(
+            sd[f"{key}_attention.{d}.{i}.norm.weight"] = np.asarray(
                 dec[key]["norm"]["scale"])
-            sd[f"{key}_attention.{d}.0.norm.bias"] = np.asarray(
+            sd[f"{key}_attention.{d}.{i}.norm.bias"] = np.asarray(
                 dec[key]["norm"]["bias"])
-        sd[f"ffn_attention.{d}.0.linear1.weight"] = np.asarray(
+        sd[f"ffn_attention.{d}.{i}.linear1.weight"] = np.asarray(
             dec["ffn"]["linear1"]["w"]).T
-        sd[f"ffn_attention.{d}.0.linear1.bias"] = np.asarray(
+        sd[f"ffn_attention.{d}.{i}.linear1.bias"] = np.asarray(
             dec["ffn"]["linear1"]["b"])
-        sd[f"ffn_attention.{d}.0.linear2.weight"] = np.asarray(
+        sd[f"ffn_attention.{d}.{i}.linear2.weight"] = np.asarray(
             dec["ffn"]["linear2"]["w"]).T
-        sd[f"ffn_attention.{d}.0.linear2.bias"] = np.asarray(
+        sd[f"ffn_attention.{d}.{i}.linear2.bias"] = np.asarray(
             dec["ffn"]["linear2"]["b"])
-        sd[f"ffn_attention.{d}.0.norm.weight"] = np.asarray(
+        sd[f"ffn_attention.{d}.{i}.norm.weight"] = np.asarray(
             dec["ffn"]["norm"]["scale"])
-        sd[f"ffn_attention.{d}.0.norm.bias"] = np.asarray(
+        sd[f"ffn_attention.{d}.{i}.norm.bias"] = np.asarray(
             dec["ffn"]["norm"]["bias"])
     return sd

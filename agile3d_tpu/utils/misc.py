@@ -23,6 +23,15 @@ class SmoothedValue:
         self.count += n
         self.total += float(value) * n
 
+    def synchronize_between_processes(self):
+        """Sum (count, total) across jax processes (the reference's NCCL
+        all_reduce of the same pair, reference utils/misc.py:50-62). The
+        window deque stays local, exactly like the reference. No-op at
+        process_count == 1."""
+        ct = _all_reduce_sum([float(self.count), self.total])
+        if ct is not None:
+            self.count, self.total = int(ct[0]), float(ct[1])
+
     @property
     def median(self):
         d = sorted(self.deque)
@@ -45,6 +54,37 @@ class SmoothedValue:
                                global_avg=self.global_avg, value=self.value)
 
 
+def _all_reduce_sum(values):
+    """Sum a small list of floats across jax processes; None when single
+    process (callers skip the update). Uses the multi-host allgather helper
+    over DCN — the TPU-native replacement for the reference's pickled NCCL
+    all_gather (reference utils/misc.py:95-135)."""
+    import jax
+
+    if jax.process_count() == 1:
+        return None
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(
+        np.asarray(values, np.float64))
+    return np.asarray(gathered).sum(axis=0)
+
+
+def reduce_dict(d: dict, average: bool = True) -> dict:
+    """Reduce a dict of scalars across processes (reference
+    utils/misc.py:138-162). Keys must match on every process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return dict(d)
+    keys = sorted(d)
+    summed = _all_reduce_sum([float(d[k]) for k in keys])
+    if average:
+        summed = summed / jax.process_count()
+    return dict(zip(keys, summed.tolist()))
+
+
 class MetricLogger:
     def __init__(self, delimiter: str = "  ", log=print):
         self.meters = defaultdict(SmoothedValue)
@@ -59,6 +99,11 @@ class MetricLogger:
         if attr in self.meters:
             return self.meters[attr]
         raise AttributeError(attr)
+
+    def synchronize_between_processes(self):
+        """reference utils/misc.py:176-178."""
+        for meter in self.meters.values():
+            meter.synchronize_between_processes()
 
     def __str__(self):
         return self.delimiter.join(

@@ -32,9 +32,15 @@ def get_args_parser():
     p.add_argument("--max_num_clicks", default=20, type=int)
     p.add_argument("--max_clicks_budget", default=256, type=int,
                    help="static click-table capacity (padded)")
+    # Device rollout is the DEFAULT: the whole click loop runs as one
+    # lax.scan per scene — 6.6x faster end to end with metric deltas
+    # bounded at 0.000 NoC / <=0.005 IoU@k vs the host loop (PERF.md,
+    # tools/compare_rollout_paths.py). --host_rollout restores the
+    # reference-style per-round host loop (bit-faithful replay).
+    p.add_argument("--host_rollout", action="store_true",
+                   help="per-round host loop instead of the on-device scan")
     p.add_argument("--device_rollout", action="store_true",
-                   help="run click rounds as one on-device lax.scan per "
-                        "scene instead of the host loop")
+                   help=argparse.SUPPRESS)  # legacy alias of the default
     return p
 
 
@@ -58,7 +64,7 @@ def main(args):
     engine = InteractiveEngine(cfg)
     evaluate_dataset(engine, params, buffers, bn_state, dataset, results_file,
                      mode="multi", max_num_clicks=args.max_num_clicks,
-                     seed=args.seed, device_rollout=args.device_rollout)
+                     seed=args.seed, device_rollout=not args.host_rollout)
 
     evaluator = EvaluatorMO(args.val_list, results_file,
                             [0.5, 0.65, 0.8, 0.85, 0.9])

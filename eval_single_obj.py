@@ -38,6 +38,9 @@ def get_args_parser():
     p.add_argument("--output_dir", default="results", type=str)
     p.add_argument("--checkpoint", default="checkpoints/checkpoint1099.pth")
     p.add_argument("--max_num_clicks", default=20, type=int)
+    p.add_argument("--host_rollout", action="store_true",
+                   help="per-round host loop instead of the on-device scan "
+                        "(see eval_multi_obj.py / PERF.md)")
     return p
 
 
@@ -60,7 +63,7 @@ def main(args):
     engine = InteractiveEngine(cfg)
     evaluate_dataset(engine, params, buffers, bn_state, dataset, results_file,
                      mode="single", max_num_clicks=args.max_num_clicks,
-                     seed=args.seed)
+                     seed=args.seed, device_rollout=not args.host_rollout)
 
     objects = np.load(args.val_list)
     classes = (np.loadtxt(args.val_list_classes, dtype=str)

@@ -66,6 +66,15 @@ def get_args_parser():
     p.add_argument("--resume", default="", help="resume from checkpoint")
     p.add_argument("--max_num_clicks", default=20, type=int)
     p.add_argument("--job_name", default="test", type=str)
+    # TPU-native additions (no reference counterpart): data-parallel mesh
+    # width and the on-device click-rollout scan
+    p.add_argument("--num_dp", default=1, type=int,
+                   help="data-parallel mesh width (scenes/step = "
+                        "batch_size * num_dp); supersedes the reference's "
+                        "vestigial NCCL path (utils/misc.py:337-375)")
+    p.add_argument("--device_rollout", action="store_true",
+                   help="run the training click rollout as one on-device "
+                        "lax.scan instead of the per-round host loop")
     return p
 
 
@@ -126,11 +135,19 @@ def main(args):
                                 scene_list=args.val_list,
                                 voxel_size=args.voxel_size)
 
-    steps_per_epoch = max(1, len(dataset_train) // cfg.train.batch_size)
+    steps_per_epoch = max(
+        1, len(dataset_train) // (cfg.train.batch_size * args.num_dp))
     tx, _ = make_optimizer(cfg, steps_per_epoch)
     opt_state = tx.init(params)
-    train_step = make_train_step(cfg, tx)
     engine = InteractiveEngine(cfg)
+    if args.num_dp > 1:
+        from agile3d_tpu.parallel import make_mesh
+        from agile3d_tpu.parallel.train import make_dp_train_step
+
+        mesh = make_mesh(n_dp=args.num_dp, n_sp=1)
+        dp_step, dp_shard_fn, _ = make_dp_train_step(cfg, tx, mesh)
+    else:
+        train_step = make_train_step(cfg, tx)
 
     output_dir = Path(args.output_dir)
     val_dir = output_dir / "valResults"
@@ -151,11 +168,20 @@ def main(args):
     print("Start training")
     start_time = time.time()
     for epoch in range(args.start_epoch, args.epochs):
-        params, bn_state, opt_state, stats = train_one_epoch(
-            engine, params, buffers, bn_state, opt_state, train_step,
-            dataset_train, cfg, epoch, np_rng=np_rng, py_rng=py_rng)
+        if args.num_dp > 1:
+            from agile3d_tpu.parallel.train import dp_train_one_epoch
+
+            params, bn_state, opt_state, stats = dp_train_one_epoch(
+                cfg, mesh, params, buffers, bn_state, opt_state, dp_step,
+                dp_shard_fn, dataset_train, epoch, np_rng=np_rng,
+                py_rng=py_rng)
+        else:
+            params, bn_state, opt_state, stats = train_one_epoch(
+                engine, params, buffers, bn_state, opt_state, train_step,
+                dataset_train, cfg, epoch, np_rng=np_rng, py_rng=py_rng,
+                device_rollout=args.device_rollout)
         wandb.log({"train/epoch": epoch, "train/loss_epoch": stats["loss"],
-                   "train/mIoU_epoch": stats["mIoU"]})
+                   "train/mIoU_epoch": stats.get("mIoU", 0.0)})
 
         if jax.process_index() == 0:
             paths = [output_dir / "checkpoint"]

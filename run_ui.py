@@ -2,9 +2,14 @@
 
 TPU-native counterpart of the reference run_UI.py (reference run_UI.py:12-58).
 The model server (scene loading, cached backbone, per-click forward_mask)
-is fully TPU-native; the Open3D GUI remains a thin optional client —
-when open3d is unavailable this falls back to a terminal REPL that accepts
-``<obj_id> <x> <y> <z>`` clicks and reports per-round mIoU.
+is fully TPU-native. Clients:
+
+  --web (default)  browser GUI: dependency-free WebGL point-cloud viewer
+                   with click-to-voxel picking, number-key object
+                   selection, ctrl-click background, per-object mask
+                   coloring (replaces the reference Open3D GUI,
+                   interactive_tool/gui.py:24-687)
+  --terminal       REPL accepting ``<obj_id> <x> <y> <z>`` clicks
 """
 
 import argparse
@@ -27,6 +32,10 @@ def get_args_parser():
                    default="data/interactive_dataset", type=str)
     p.add_argument("--point_type", default=None, type=str)
     p.add_argument("--voxel_size", default=0.05, type=float)
+    p.add_argument("--terminal", action="store_true",
+                   help="terminal REPL instead of the web GUI")
+    p.add_argument("--host", default="127.0.0.1", type=str)
+    p.add_argument("--port", default=8008, type=int)
     return p
 
 
@@ -70,14 +79,12 @@ def main(args):
     loader = InteractiveDataLoader(args.dataset_scenes, args.user_name)
     server = InteractiveSegmentationServer(
         loader, weights=args.pretraining_weights or None, cfg=cfg)
-    try:
-        import open3d  # noqa: F401
-        print("[INFO] open3d detected — GUI client not bundled in this "
-              "build; using terminal mode (the reference Open3D GUI can "
-              "drive this server through get_next_click).")
-    except ImportError:
-        pass
-    terminal_loop(server)
+    if args.terminal:
+        terminal_loop(server)
+    else:
+        from agile3d_tpu.interactive.web import serve
+
+        serve(server, host=args.host, port=args.port)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,119 @@
+"""Data-parallel training as a WORKFLOW (VERDICT round-1 item 6): the dp
+epoch driver + on-device dp rollout (parallel/train.py) on the 8-virtual-
+device CPU mesh, plus a fixed-batch loss-descent check proving the
+synchronized updates learn. A small backbone variant keeps XLA:CPU compile
+time sane; the workflow under test is identical."""
+
+import random as pyrandom
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from agile3d_tpu.config import (
+    BackboneConfig, Config, ModelConfig, TrainConfig)
+from agile3d_tpu.data.datasets import SceneSample
+from agile3d_tpu.engine.train import make_optimizer
+from agile3d_tpu.models.agile3d import init_agile3d
+from agile3d_tpu.parallel import make_mesh
+from agile3d_tpu.parallel.train import (
+    collate_sharded,
+    dp_train_one_epoch,
+    make_dp_rollout,
+    make_dp_train_step,
+)
+from agile3d_tpu.sparse.quantize import sparse_quantize
+from tests.synthetic import make_scene
+
+SMALL_BB = BackboneConfig(init_dim=8, planes=(8, 8, 8, 8, 8, 8, 8, 8),
+                          layers=(1, 1, 1, 1, 1, 1, 1, 1))
+CFG = Config(model=ModelConfig(max_clicks=32, hidden_dim=32,
+                               dim_feedforward=64, num_heads=2,
+                               backbone=SMALL_BB),
+             train=TrainConfig(batch_size=1, lr=2e-3),
+             buckets=(256, 512, 1024, 2048))
+
+
+def _dataset(n_scenes=8, num_obj=2, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n_scenes):
+        coords, colors, labels = make_scene(rng, n_points=600,
+                                            num_obj=num_obj)
+        vox, umap, imap = sparse_quantize(coords, CFG.model.voxel_size)
+        out.append(SceneSample(
+            vox_coords=vox, raw_coords=coords[umap],
+            feats=colors[umap].astype(np.float32) / 255.0,
+            labels=labels[umap].astype(np.int32),
+            labels_full=labels.astype(np.int32), inverse_map=imap,
+            click_idx={}, scene_name=f"s{i}", num_obj=num_obj))
+    return out
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh (conftest)")
+    return make_mesh(n_dp=8, n_sp=1)
+
+
+def test_dp_fixed_batch_loss_falls(mesh):
+    """Synchronized dp updates must drive the loss down on one fixed batch
+    with a fixed click table (pure optimization check)."""
+    ds = _dataset()
+    params, buffers, bn_state = init_agile3d(jax.random.PRNGKey(0),
+                                             CFG.model)
+    tx, _ = make_optimizer(CFG, steps_per_epoch=1)
+    opt_state = tx.init(params)
+    step, shard_fn, _ = make_dp_train_step(CFG, tx, mesh)
+
+    groups = [[ds[i]] for i in range(8)]
+    batch = collate_sharded(groups, CFG.buckets)
+    dummy = None
+    from agile3d_tpu.models.agile3d import ClickState
+
+    dummy = ClickState(vox=np.zeros((8, 1, 1), np.int32),
+                       obj=np.zeros((8, 1, 1), np.int32),
+                       time=np.zeros((8, 1, 1), np.int32))
+    pyr_d, feats_d, raw_d, si_d, _, labels_d, num_obj_d = shard_fn(
+        batch, dummy)
+
+    rollout = make_dp_rollout(CFG, mesh, rounds=2)
+    clicks, counts = rollout(params, buffers, bn_state, pyr_d, feats_d,
+                             raw_d, si_d, labels_d, num_obj_d,
+                             jnp.asarray(1, jnp.int32),
+                             jax.random.split(jax.random.PRNGKey(5), 8))
+    assert int(np.asarray(counts).sum()) > 0  # rollout produced clicks
+
+    losses = []
+    for _ in range(8):
+        params, bn_state, opt_state, tot, _, gnorm = step(
+            params, buffers, bn_state, opt_state, pyr_d, feats_d, raw_d,
+            si_d, clicks, labels_d, num_obj_d)
+        losses.append(float(tot))
+        assert np.isfinite(losses[-1])
+    assert min(losses[1:]) < losses[0] * 0.9, f"loss curve {losses}"
+    assert losses[-1] < losses[0], f"loss curve {losses}"
+
+
+def test_dp_epoch_driver(mesh):
+    """dp_train_one_epoch end to end: sharded collation, on-device rollout,
+    synchronized steps, metric aggregation."""
+    ds = _dataset(n_scenes=16)
+    params, buffers, bn_state = init_agile3d(jax.random.PRNGKey(1),
+                                             CFG.model)
+    tx, _ = make_optimizer(CFG, steps_per_epoch=2)
+    opt_state = tx.init(params)
+    step, shard_fn, _ = make_dp_train_step(CFG, tx, mesh)
+
+    class ShortRng(pyrandom.Random):
+        def randint(self, a, b):
+            return 1
+
+    params, bn_state, opt_state, stats = dp_train_one_epoch(
+        CFG, mesh, params, buffers, bn_state, opt_state, step, shard_fn,
+        ds, epoch=0, np_rng=np.random.default_rng(3), py_rng=ShortRng(0),
+        log=lambda *a: None)
+    assert np.isfinite(stats["loss"])
+    assert np.isfinite(stats["grad_norm"])

@@ -98,3 +98,15 @@ def test_ap_sane_on_reference_csv():
     a2 = compute_averages(ap_at_clicks(path, 2))["all_ap"]
     a15 = compute_averages(ap_at_clicks(path, 15))["all_ap"]
     assert a15 > a2
+
+
+def test_iou_at_k_key_format():
+    """Pin the CSV click-column formatting contract: the eval writers emit
+    f"{current / num_obj}" and EvaluatorMO matches IoU@k rows by the
+    literal strings '1.0'/'3.0'/'5.0'/'10.0'/'15.0'. Exact IEEE division
+    of small ints guarantees the match for every num_obj <= 10 and
+    k <= 20."""
+    for num_obj in range(1, 11):
+        for k in (1, 3, 5, 10, 15):
+            current = k * num_obj
+            assert f"{current / num_obj}" == f"{float(k)}"

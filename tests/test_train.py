@@ -29,15 +29,21 @@ CFG = Config(
 def test_subsample_objects():
     rng = np.random.default_rng(0)
     labels = np.array([0, 1, 1, 5, 5, 5, 9, -1, -1], np.int32)
-    for _ in range(10):
+    # reference semantics (engine.py:60-61): only -1 is excluded from the
+    # candidate pool, so label 0 (background) is itself samplable — the
+    # pool here is {0, 1, 5, 9}
+    seen_zero = False
+    for _ in range(20):
         out, k = subsample_objects(labels, rng)
-        assert 1 <= k <= 3
+        assert 1 <= k <= 4
         assert set(np.unique(out[:7])) <= set(range(k + 1))
         assert (out[7:] == -1).all()
         # remapped ids are contiguous 1..k, each mapping one original object
         for o in range(1, k + 1):
             src = labels[out == o]
-            assert len(np.unique(src)) == 1 and src[0] in (1, 5, 9)
+            assert len(np.unique(src)) == 1 and src[0] in (0, 1, 5, 9)
+            seen_zero |= src[0] == 0
+    assert seen_zero  # the background region does get sampled
 
 
 @pytest.mark.slow
