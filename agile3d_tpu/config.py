@@ -27,10 +27,20 @@ class BackboneConfig:
     dilations: Sequence[int] = (1, 1, 1, 1)
     block: str = "basic"                # 'basic' | 'bottleneck'
     # Run each stage's identical tail blocks as one lax.scan over stacked
-    # params (smaller HLO). Off by default: measured 3.5x SLOWER XLA:CPU
-    # compile (nested scan optimization cost outweighs the HLO shrink);
-    # kept as a knob for TPU compile experiments.
-    scan_blocks: bool = False
+    # params (smaller HLO). None = auto per backend: ON for TPU (cold
+    # compile 223s -> 172s at identical 196ms steady state, measured on
+    # the 185k-voxel bench scene), OFF for CPU (the same change makes
+    # XLA:CPU compile 3.5x slower). tools/bench_backbone_sweep.py re-runs
+    # the A/B.
+    scan_blocks: bool | None = None
+    # Two-stage factored cubic convs (z-column concat + (dx,dy) gathers):
+    # exact same math with ~2x fewer gathered ROWS — but measured 1.5x
+    # SLOWER on the chip (295 vs 196 ms on the 185k-voxel scene): XLA's
+    # scan-fused gathers cost ~bytes, not rows, so the h materialization
+    # plus 3x-wider stage-B rows add traffic instead of saving it.
+    # Kept as an op + maps (ops/sparse_conv.sparse_conv_factored) for
+    # revisiting with a fused kernel; default OFF. See PERF.md.
+    factored_conv: bool = False
 
     @property
     def expansion(self) -> int:

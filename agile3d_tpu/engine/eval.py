@@ -33,17 +33,18 @@ class InteractiveEngine:
     """Holds jitted model entry points (weights are donated per call so the
     same engine serves training checkpoints as they evolve).
 
-    decoder_impl: 'xla' (default — chunked attention + query bucketing keep
-    it fast and memory-lean) or 'pallas' (fused kernels; currently behind
-    XLA because of per-head lane-relayout overheads at head_dim=16 — kept
-    for further kernel work).
+    The decoder is the pure-XLA path (chunked attention + query bucketing).
+    A fused Pallas decoder was built and benched in round 1 and DELETED in
+    round 2: at head_dim=16 every per-head matmul pads its 16-lane
+    contraction to the MXU's 128, so both implementations are bounded by
+    the same 8x-padded matmul work (measured 15.04 ms XLA vs 15.28 ms
+    Pallas on the 185k-voxel bench scene) — the fusion cannot buy >=20%
+    and the kernels carried Mosaic-fragility cost. See PERF.md.
     """
 
     def __init__(self, cfg: Config, decoder_impl: str = "auto"):
         self.cfg = cfg
-        if decoder_impl == "auto":
-            decoder_impl = "xla"
-        self.decoder_impl = decoder_impl
+        self.decoder_impl = "xla"
 
         @functools.partial(jax.jit, static_argnames=("training",))
         def _backbone(params, buffers, bn_state, pyr, feats, raw, sample_idx,
@@ -54,15 +55,8 @@ class InteractiveEngine:
 
         @jax.jit
         def _mask(params, buffers, scene, clicks, num_obj):
-            if self.decoder_impl == "pallas":
-                from agile3d_tpu.models.agile3d_pallas import (
-                    forward_mask_pallas)
-
-                out = forward_mask_pallas(params, buffers, scene, clicks,
-                                          num_obj, cfg=cfg.model)
-            else:
-                out = forward_mask(params, buffers, scene, clicks, num_obj,
-                                   cfg=cfg.model)
+            out = forward_mask(params, buffers, scene, clicks, num_obj,
+                               cfg=cfg.model)
             pred = jnp.argmax(out["pred_masks"], axis=-1).astype(jnp.int32)
             return out, pred
 

@@ -32,6 +32,7 @@ from agile3d_tpu.ops.norm import batch_norm, init_bn
 from agile3d_tpu.ops.sparse_conv import (
     linear,
     sparse_conv,
+    sparse_conv_factored,
     sparse_conv_transpose,
 )
 from agile3d_tpu.sparse.grid import PaddedPyramid
@@ -199,7 +200,16 @@ def init_backbone(key, cfg: BackboneConfig = BackboneConfig()):
 # ---------------------------------------------------------------------------
 
 
-def _residual_block(p, s, x, k3, valid, *, training: bool, momentum: float):
+def _conv3(x, k3, zb, w):
+    """k3 conv: factored two-stage form when the maps exist (zb), else the
+    direct 27-offset gather-GEMM."""
+    if zb is not None:
+        return sparse_conv_factored(x, zb[0], zb[1], w)
+    return sparse_conv(x, k3, w)
+
+
+def _residual_block(p, s, x, k3, valid, zb=None, *, training: bool,
+                    momentum: float):
     """BasicBlock or Bottleneck, distinguished by the presence of conv3."""
     s_new = {}
 
@@ -210,11 +220,11 @@ def _residual_block(p, s, x, k3, valid, *, training: bool, momentum: float):
 
     if "conv3" in p:  # bottleneck (reference resnet_block.py:117-137)
         out = jax.nn.relu(bn("norm1", linear(x, p["conv1"]["w"])))
-        out = jax.nn.relu(bn("norm2", sparse_conv(out, k3, p["conv2"]["w"])))
+        out = jax.nn.relu(bn("norm2", _conv3(out, k3, zb, p["conv2"]["w"])))
         out = bn("norm3", linear(out, p["conv3"]["w"]))
     else:             # basic block (reference resnet_block.py:48-64)
-        out = jax.nn.relu(bn("norm1", sparse_conv(x, k3, p["conv1"]["w"])))
-        out = bn("norm2", sparse_conv(out, k3, p["conv2"]["w"]))
+        out = jax.nn.relu(bn("norm1", _conv3(x, k3, zb, p["conv1"]["w"])))
+        out = bn("norm2", _conv3(out, k3, zb, p["conv2"]["w"]))
 
     if "downsample" in p:
         residual = linear(x, p["downsample"]["conv"]["w"])
@@ -226,7 +236,7 @@ def _residual_block(p, s, x, k3, valid, *, training: bool, momentum: float):
     return jax.nn.relu(out + residual), s_new
 
 
-def _stage(p_list, s_list, x, k3, valid, *, training, momentum,
+def _stage(p_list, s_list, x, k3, valid, zb=None, *, training, momentum,
            scan_blocks=False):
     # per-block rematerialization: the backward pass recomputes each block's
     # activations instead of keeping all 26 blocks' intermediates alive
@@ -237,15 +247,16 @@ def _stage(p_list, s_list, x, k3, valid, *, training, momentum,
     if not scan_blocks:
         s_new = []
         for bp, bs in zip(p_list, s_list):
-            x, ns = blk(bp, bs, x, k3, valid)
+            x, ns = blk(bp, bs, x, k3, valid, zb)
             s_new.append(ns)
         return x, s_new
 
-    # Experimental (cfg.scan_blocks): first block has unique shapes (channel
-    # change + downsample); the identical tail blocks run as ONE lax.scan
-    # over stacked params, shrinking the stage HLO to 2 block bodies.
-    # Measured 3.5x slower XLA:CPU compile, so default-off.
-    x, ns0 = blk(p_list[0], s_list[0], x, k3, valid)
+    # cfg.scan_blocks (auto: on for TPU): first block has unique shapes
+    # (channel change + downsample); the identical tail blocks run as ONE
+    # lax.scan over stacked params, shrinking the stage HLO to 2 block
+    # bodies. TPU cold compile 223s -> 172s at identical steady state;
+    # XLA:CPU compiles this form 3.5x SLOWER, hence the backend switch.
+    x, ns0 = blk(p_list[0], s_list[0], x, k3, valid, zb)
     s_new = [ns0]
     tail_p, tail_s = list(p_list[1:]), list(s_list[1:])
     if not tail_p:
@@ -255,7 +266,7 @@ def _stage(p_list, s_list, x, k3, valid, *, training, momentum,
 
     def body(h, ps):
         p, s = ps
-        h, ns = blk(p, s, h, k3, valid)
+        h, ns = blk(p, s, h, k3, valid, zb)
         return h, ns
 
     x, ns_stacked = jax.lax.scan(body, x, (stacked_p, stacked_s))
@@ -286,6 +297,9 @@ def backbone_forward(
     lv = pyr.levels
     ns = {}
     cd = compute_dtype
+    scan_blocks = cfg.scan_blocks
+    if scan_blocks is None:  # auto per backend (see BackboneConfig)
+        scan_blocks = jax.default_backend() == "tpu"
 
     def bn(name, x, valid):
         y, ns[name] = batch_norm(x.astype(jnp.float32), valid, params[name],
@@ -297,10 +311,20 @@ def backbone_forward(
         params = jax.tree_util.tree_map(
             lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, params)
 
-    # stem at stride 1: grouped scan over the 125 offsets (measured: the
-    # per-channel im2col variant gathers scalars and is ~6x slower on TPU)
-    out = sparse_conv(feats, lv[0].k5, params["conv0p1s1"]["w"],
-                      unroll=False)
+    def zb_of(level):
+        if cfg.factored_conv and getattr(level, "z3", None) is not None:
+            return (level.z3, level.b9)
+        return None
+
+    # stem at stride 1: factored two-stage when maps exist (5*|D5| + 25N
+    # gathered rows vs 125N direct), else grouped scan over the 125 offsets
+    stem_w = params["conv0p1s1"]["w"]
+    if (cfg.factored_conv and cfg.conv1_kernel_size == 5
+            and getattr(lv[0], "z5", None) is not None):
+        out = sparse_conv_factored(feats, lv[0].z5, lv[0].b25, stem_w,
+                                   unroll=False)
+    else:
+        out = sparse_conv(feats, lv[0].k5, stem_w, unroll=False)
     out_p1 = jax.nn.relu(bn("bn0", out, lv[0].valid))
 
     # down path
@@ -311,8 +335,8 @@ def backbone_forward(
         out = jax.nn.relu(bn(f"bn{i+1}", out, lv[i + 1].valid))
         out, ns[f"block{i+1}"] = _stage(
             params[f"block{i+1}"], state[f"block{i+1}"], out,
-            lv[i + 1].k3, lv[i + 1].valid, training=training, momentum=mom,
-            scan_blocks=cfg.scan_blocks)
+            lv[i + 1].k3, lv[i + 1].valid, zb_of(lv[i + 1]),
+            training=training, momentum=mom, scan_blocks=scan_blocks)
         skips.append(out)
 
     feature_maps = [out]  # stride 16
@@ -327,8 +351,8 @@ def backbone_forward(
         out = jnp.concatenate([out, skips[tgt]], axis=1)
         out, ns[f"block{i+1}"] = _stage(
             params[f"block{i+1}"], state[f"block{i+1}"], out,
-            lv[tgt].k3, lv[tgt].valid, training=training, momentum=mom,
-            scan_blocks=cfg.scan_blocks)
+            lv[tgt].k3, lv[tgt].valid, zb_of(lv[tgt]),
+            training=training, momentum=mom, scan_blocks=scan_blocks)
         feature_maps.append(out)
 
     return feature_maps, ns

@@ -103,6 +103,32 @@ def sparse_conv(x: jax.Array, nbr: jax.Array, w: jax.Array,
     return acc
 
 
+def sparse_conv_factored(x: jax.Array, zmap: jax.Array, b2: jax.Array,
+                         w: jax.Array, unroll: bool | None = None) -> jax.Array:
+    """Two-stage factored cubic conv — EXACT same math as ``sparse_conv``
+    with the full k^3 map, ~2x (k=3) to ~3.7x (k=5) fewer gathered rows
+    (sparse/kernel_maps.factored_maps has the derivation; gathers are
+    row-rate bound on TPU at ~46 M rows/s regardless of row width).
+
+    Stage A streams the z-column concat h[d] = [x(p_d - r*z) .. x(p_d + r*z)]
+    over the z-dilated set D; stage B is a k^2-offset gather-GEMM over h
+    with the kernel reshaped [k^2, k*C_in, C_out] (dz-fastest product order
+    means NO weight permutation).
+
+    Args:
+      x:    [N, C_in].
+      zmap: [Nd, k] rows into x, -1 absent.
+      b2:   [M, k*k] rows into D, -1 absent.
+      w:    [k^3, C_in, C_out].
+    """
+    k = zmap.shape[1]
+    cin, cout = w.shape[1], w.shape[2]
+    h = jnp.concatenate(
+        [masked_gather(x, zmap[:, i]) for i in range(k)], axis=1)
+    w2 = w.reshape(k * k, k * cin, cout)
+    return sparse_conv(h, b2, w2, unroll=unroll)
+
+
 def sparse_conv_transpose(x_coarse: jax.Array, up_parent: jax.Array,
                           up_offset: jax.Array, w: jax.Array) -> jax.Array:
     """Kernel-2 stride-2 generative transposed conv back onto the finer map.

@@ -26,6 +26,11 @@ class PaddedLevel(NamedTuple):
     up_parent: np.ndarray | None  # int32 [Np] (rows into next level)
     up_offset: np.ndarray | None  # int32 [Np]
     num_valid: int            # python int: true voxel count (static per bucket)
+    # factored-conv maps (kernel_maps.factored_maps); None when not built
+    z3: np.ndarray | None = None   # int32 [Nd3p, 3]
+    b9: np.ndarray | None = None   # int32 [Np, 9]
+    z5: np.ndarray | None = None   # int32 [Nd5p, 5]
+    b25: np.ndarray | None = None  # int32 [Np, 25]
 
 
 class PaddedPyramid(NamedTuple):
@@ -52,6 +57,16 @@ def pad_pyramid(
         n_next = sizes[i + 1] if i + 1 < len(sizes) else None
         valid = np.zeros(n, dtype=bool)
         valid[: lvl.num_voxels] = True
+        def pad_z(z):
+            if z is None:
+                return None
+            # dilated sets can exceed the top voxel bucket (|D| <= k*N);
+            # round up to a 1024 multiple past the ladder
+            nd = bucket_size(z.shape[0], buckets)
+            if nd < z.shape[0]:
+                nd = -(-z.shape[0] // 1024) * 1024
+            return _pad_rows(z, nd, -1)
+
         out.append(
             PaddedLevel(
                 grid=_pad_rows(lvl.grid, n, 0),
@@ -63,6 +78,10 @@ def pad_pyramid(
                 up_parent=_pad_rows(lvl.up_parent, n, -1),
                 up_offset=_pad_rows(lvl.up_offset, n, 0),
                 num_valid=lvl.num_voxels,
+                z3=pad_z(getattr(lvl, "z3", None)),
+                b9=_pad_rows(getattr(lvl, "b9", None), n, -1),
+                z5=pad_z(getattr(lvl, "z5", None)),
+                b25=_pad_rows(getattr(lvl, "b25", None), n, -1),
             )
         )
     return PaddedPyramid(levels=tuple(out))

@@ -104,6 +104,14 @@ class LevelMaps:
     down: np.ndarray | None       # int32 [N_coarse, 8] fine rows per coarse voxel
     up_parent: np.ndarray | None  # int32 [N] coarse row feeding this fine voxel
     up_offset: np.ndarray | None  # int32 [N] kernel element in [0, 8)
+    # Factored-conv maps (see factored_maps): z-column gather for the
+    # z-dilated set D + per-voxel (dx, dy) rows into D. The factored form
+    # gathers ~2x fewer rows for k3 (and ~3.7x fewer for the k5 stem) than
+    # the direct per-offset maps — the gather is row-rate bound on TPU.
+    z3: np.ndarray | None = None     # int32 [Nd3, 3] rows into V
+    b9: np.ndarray | None = None     # int32 [N, 9] rows into D3
+    z5: np.ndarray | None = None     # int32 [Nd5, 5] finest level only
+    b25: np.ndarray | None = None    # int32 [N, 25] rows into D5
 
     @property
     def num_voxels(self) -> int:
@@ -141,11 +149,71 @@ def _sorted_index(grid: np.ndarray, batch: np.ndarray):
     return keys[order], order
 
 
+def factored_maps(grid: np.ndarray, batch: np.ndarray,
+                  keys_sorted: np.ndarray, order: np.ndarray, k: int):
+    """Factor a k^3 cubic conv into a z-column stage + a (dx, dy) stage.
+
+    The k^3-offset gather-GEMM conv is row-rate bound, so halving gathered
+    ROWS is the lever. Exact two-stage form: define the z-dilated set
+    D = { p : exists dz in [-r, r] with p + (0,0,dz) in V }, materialize
+    h[p] = concat_dz x[p + (0,0,dz)]  (zeros where absent), then
+
+        out[m] = sum_{dx,dy} h[m + (dx,dy,0)] @ W'[dx,dy]
+
+    where W' stacks the k dz-slices of W — EXACT because
+    (m + (dx,dy,0)) + (0,0,dz) == m + (dx,dy,dz) in the voxel grid, and
+    D covers every (dx,dy,0) position whose z-column intersects V.
+    Gathered rows: k*|D| + k^2*N  vs  k^3*N direct (k=3: ~14N vs 27N at
+    the measured |D|=1.6N; k=5: ~34N vs 125N).
+
+    Returns (zmap [Nd, k], b2 [N, k*k]); D rows are sorted by packed key.
+    The conv consumes W reshaped [k*k, k*C_in, C_out] with NO permutation:
+    kernel_offsets enumerates (dx, dy, dz) with dz fastest, matching the
+    h layout [x(p-r*z) | ... | x(p+r*z)].
+    """
+    r = (k - 1) // 2
+    n = grid.shape[0]
+
+    # D = union of the k z-shifts of V, deduped on packed keys (sorted)
+    shifted = []
+    for dz in range(-r, r + 1):
+        g2 = grid.copy()
+        g2[:, 2] += dz
+        shifted.append(pack_coords(g2, batch))
+    all_keys = np.concatenate(shifted)
+    dkeys, first = np.unique(all_keys, return_index=True)
+    src_row = first % n
+    src_dz = first // n - r
+    dgrid = grid[src_row].copy()
+    dgrid[:, 2] += src_dz.astype(grid.dtype)
+    dbatch = batch[src_row]
+
+    zmap = np.empty((len(dkeys), k), np.int32)
+    for i, dz in enumerate(range(-r, r + 1)):
+        q = dgrid.copy()
+        q[:, 2] += dz
+        zmap[:, i] = _lookup(keys_sorted, order, pack_coords(q, dbatch))
+
+    b2 = np.empty((n, k * k), np.int32)
+    col = 0
+    for dx in range(-r, r + 1):
+        for dy in range(-r, r + 1):
+            q = grid.copy()
+            q[:, 0] += dx
+            q[:, 1] += dy
+            qk = pack_coords(q, batch)
+            pos = np.minimum(np.searchsorted(dkeys, qk), len(dkeys) - 1)
+            b2[:, col] = np.where(dkeys[pos] == qk, pos, -1).astype(np.int32)
+            col += 1
+    return zmap, b2
+
+
 def build_pyramid(
     voxel_coords: np.ndarray,
     batch: np.ndarray | None = None,
     num_levels: int = 5,
     stem_kernel: int = 5,
+    factored: bool = False,
 ) -> Pyramid:
     """Build the full UNet coordinate pyramid + all gather maps.
 
@@ -189,9 +257,17 @@ def build_pyramid(
         if lvl == 0 and stem_kernel != 3:
             k5 = nbr_map(grid, batch, KERNEL_OFFSETS_CACHE[stem_kernel],
                          keys_sorted, order)
+        z3 = b9 = z5 = b25 = None
+        if factored:
+            if keys_sorted is None:
+                keys_sorted, order = _sorted_index(grid, batch)
+            z3, b9 = factored_maps(grid, batch, keys_sorted, order, 3)
+            if lvl == 0 and stem_kernel == 5:
+                z5, b25 = factored_maps(grid, batch, keys_sorted, order, 5)
         levels.append(
             LevelMaps(grid=grid, batch=batch, k3=k3, k5=k5,
-                      down=None, up_parent=None, up_offset=None)
+                      down=None, up_parent=None, up_offset=None,
+                      z3=z3, b9=b9, z5=z5, b25=b25)
         )
         if lvl == num_levels - 1:
             break

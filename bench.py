@@ -110,46 +110,32 @@ def main():
     num_obj_dev = jnp.asarray([8], jnp.int32)
 
     from agile3d_tpu.models.agile3d import forward_mask
-    from agile3d_tpu.models.agile3d_pallas import forward_mask_pallas
 
     mc = engine._click_bucket(clicks.count)
     cs_b = ClickState(vox=cs.vox[:, :mc], obj=cs.obj[:, :mc],
                       time=cs.time[:, :mc])
     FM_ITERS = 20
 
-    def make_loop(impl):
-        fm = forward_mask_pallas if impl == "pallas" else forward_mask
+    @jax.jit
+    def loop(params, buffers, scene, cs, num_obj):
+        def body(_, feat):
+            sc = scene._replace(mask_feat=feat)
+            out = forward_mask(params, buffers, sc, cs, num_obj,
+                               cfg=cfg.model)
+            pred = jnp.argmax(out["pred_masks"], -1)
+            return feat + pred[..., :1].astype(jnp.float32) * 1e-38
 
-        @jax.jit
-        def loop(params, buffers, scene, cs, num_obj):
-            def body(_, feat):
-                sc = scene._replace(mask_feat=feat)
-                out = fm(params, buffers, sc, cs, num_obj, cfg=cfg.model)
-                pred = jnp.argmax(out["pred_masks"], -1)
-                return feat + pred[..., :1].astype(jnp.float32) * 1e-38
+        return jax.lax.fori_loop(0, FM_ITERS, body, scene.mask_feat)
 
-            return jax.lax.fori_loop(0, FM_ITERS, body, scene.mask_feat)
-
-        return loop
-
-    per_impl = {}
-    for impl in ("xla", "pallas"):
-        loop = make_loop(impl)
-        try:
-            fence(loop(params, buffers, scene, cs_b, num_obj_dev))
-            reps = []
-            for _ in range(3):
-                t0 = time.time()
-                fence(loop(params, buffers, scene, cs_b, num_obj_dev))
-                reps.append(1000 * (time.time() - t0) / FM_ITERS)
-            per_impl[impl] = float(np.median(reps))
-            print(f"forward_mask[{impl}] per-call (in-graph x{FM_ITERS}): "
-                  f"{[f'{t:.2f}' for t in reps]} -> {per_impl[impl]:.2f} ms",
-                  file=sys.stderr)
-        except Exception as e:
-            print(f"forward_mask[{impl}] failed: {str(e)[:200]}",
-                  file=sys.stderr)
-    p50 = min(per_impl.values())
+    fence(loop(params, buffers, scene, cs_b, num_obj_dev))
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        fence(loop(params, buffers, scene, cs_b, num_obj_dev))
+        reps.append(1000 * (time.time() - t0) / FM_ITERS)
+    p50 = float(np.median(reps))
+    print(f"forward_mask per-call (in-graph x{FM_ITERS}): "
+          f"{[f'{t:.2f}' for t in reps]} -> {p50:.2f} ms", file=sys.stderr)
 
     print(json.dumps({
         "metric": "per_click_forward_mask_p50_latency",

@@ -73,3 +73,32 @@ def test_device_rollout_matches_host_rows(tmp_path):
         h, d = hr.split(" "), dr.split(" ")
         assert h[:4] == d[:4], (hr, dr)
         assert abs(float(h[4]) - float(d[4])) < 1e-5, (hr, dr)
+
+
+def test_device_rollout_matches_host_rows_single(tmp_path):
+    """Single-object protocol (binarized labels, +1 absolute click/round,
+    reference eval_single_obj.py:108,164) through the device scan — the
+    eval CLIs' default path — matches the host loop row for row."""
+    from agile3d_tpu.data.datasets import InterSingleObjDataset
+
+    scans, _ = write_benchmark(str(tmp_path), num_scenes=1, num_obj=2,
+                               n_points=1200)
+    objects = np.array([["scene0000_00", "1"], ["scene0000_00", "2"]])
+    ds = InterSingleObjDataset(scans, objects, 0.05)
+    params, buffers, bn = init_agile3d(jax.random.PRNGKey(1), CFG.model)
+    engine = InteractiveEngine(CFG)
+    for i in range(len(ds)):
+        batch = collate_scenes([ds[i]], CFG.buckets)
+        host_rows = evaluate_scene(engine, params, buffers, bn, batch,
+                                   mode="single", instance_id=i,
+                                   rng=random.Random(7), max_num_clicks=3,
+                                   skip_converged=False)
+        dev_rows = evaluate_scene_device(engine, params, buffers, bn, batch,
+                                         mode="single", instance_id=i,
+                                         rng=random.Random(7),
+                                         max_num_clicks=3)
+        assert len(host_rows) == len(dev_rows)
+        for hr, dr in zip(host_rows, dev_rows):
+            h, d = hr.split(" "), dr.split(" ")
+            assert h[:4] == d[:4], (hr, dr)
+            assert abs(float(h[4]) - float(d[4])) < 1e-5, (hr, dr)

@@ -203,3 +203,37 @@ def test_backbone_bf16_mode_close_to_f32():
     # bf16 drift stays small relative to activation scale
     denom = np.abs(a).mean() + 1e-6
     assert np.abs(a - b).mean() / denom < 0.1
+
+
+def test_factored_conv_matches_direct():
+    """sparse_conv_factored == sparse_conv with the full k^3 map (exact
+    two-stage factorization; sparse/kernel_maps.factored_maps)."""
+    import jax.numpy as jnp
+
+    from agile3d_tpu.ops.sparse_conv import sparse_conv, sparse_conv_factored
+    from agile3d_tpu.sparse.kernel_maps import (
+        KERNEL_OFFSETS_CACHE, _neighbor_map, _sorted_index, factored_maps)
+
+    rng = np.random.default_rng(3)
+    for k, n_pts, hi in ((3, 700, 12), (5, 900, 14)):
+        grid = np.unique(rng.integers(0, hi, (n_pts, 3)).astype(np.int32),
+                         axis=0)
+        # two batch samples sharing the coordinate space
+        batch = (rng.random(len(grid)) < 0.5).astype(np.int32)
+        keys_sorted, order = _sorted_index(grid, batch)
+        nbr = _neighbor_map(grid, batch, keys_sorted, order,
+                            KERNEL_OFFSETS_CACHE[k])
+        zmap, b2 = factored_maps(grid, batch, keys_sorted, order, k)
+
+        cin, cout = 6, 8
+        x = jnp.asarray(rng.standard_normal((len(grid), cin)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((k ** 3, cin, cout)).astype(np.float32))
+        ref = np.asarray(sparse_conv(x, jnp.asarray(nbr), w))
+        got = np.asarray(sparse_conv_factored(x, jnp.asarray(zmap),
+                                              jnp.asarray(b2), w))
+        np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+        # gather-row accounting: the factored form must actually be leaner
+        rows_direct = k ** 3 * len(grid)
+        rows_factored = k * len(zmap) + k * k * len(grid)
+        assert rows_factored < 0.75 * rows_direct, (rows_factored, rows_direct)

@@ -1,0 +1,149 @@
+"""KITTI-360-scale single-chip stress test (VERDICT round-1 item 9).
+
+Pushes a 500k+-voxel outdoor-scale synthetic scene through backbone +
+per-click decoder on one chip, recording HBM peaks
+(utils/profiling.device_memory_stats) and verifying the chunked-attention
+path engages (SURVEY.md section 5.7: the voxel axis is the long-context
+analogue; this measures the single-chip ceiling that justifies voxel-axis
+SP for anything larger).
+
+Run: python tools/stress_kitti.py [--points 2000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def fence(x):
+    import jax
+
+    return float(jax.tree_util.tree_leaves(x)[0].reshape(-1)[0].astype("float32"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--points", type=int, default=2_000_000)
+    ap.add_argument("--extent", type=float, default=28.0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from agile3d_tpu.config import Config
+    from agile3d_tpu.data.datasets import SceneSample, collate_scenes
+    from agile3d_tpu.engine.clicks import HostClicks, NewClicks
+    from agile3d_tpu.engine.eval import InteractiveEngine
+    from agile3d_tpu.models.agile3d import ClickState, forward_mask, init_agile3d
+    from agile3d_tpu.sparse.quantize import sparse_quantize
+    from agile3d_tpu.utils.profiling import device_memory_stats
+    from tests.synthetic import make_scene
+
+    cfg = Config()
+    rng = np.random.default_rng(0)
+    coords, colors, labels = make_scene(rng, n_points=args.points,
+                                        num_obj=10, extent=args.extent)
+    coords += rng.standard_normal(coords.shape).astype(np.float32) * 0.04
+    t0 = time.time()
+    vox, umap, imap = sparse_quantize(coords, cfg.model.voxel_size)
+    sample = SceneSample(
+        vox_coords=vox, raw_coords=coords[umap],
+        feats=colors[umap].astype(np.float32) / 255.0,
+        labels=labels[umap].astype(np.int32),
+        labels_full=labels.astype(np.int32), inverse_map=imap,
+        click_idx={}, scene_name="kitti_stress", num_obj=10)
+    batch = collate_scenes([sample], cfg.buckets)
+    n_valid = len(vox)
+    n_pad = batch.pyramid.levels[0].grid.shape[0]
+    print(f"scene: {n_valid} voxels (padded {n_pad}); host quantize+pyramid "
+          f"{time.time()-t0:.1f}s", flush=True)
+    chunk_engages = (cfg.model.xla_attn_chunk
+                     and n_pad >= 2 * cfg.model.xla_attn_chunk
+                     and n_pad % cfg.model.xla_attn_chunk == 0)
+    print(f"chunked-attention gate at N={n_pad}: "
+          f"{'engaged' if chunk_engages else 'dense'} "
+          f"(chunk {cfg.model.xla_attn_chunk})", flush=True)
+
+    params, buffers, bn_state = init_agile3d(jax.random.PRNGKey(0), cfg.model)
+    engine = InteractiveEngine(cfg)
+
+    t0 = time.time()
+    scene, _ = engine.run_backbone(params, buffers, bn_state, batch)
+    jax.block_until_ready(scene.mask_feat)
+    t_bb_cold = time.time() - t0
+    mem_bb = device_memory_stats()
+    print(f"backbone compile+first: {t_bb_cold:.1f}s; HBM "
+          f"{mem_bb.get('bytes_in_use', 0)/2**30:.2f} GiB in use / peak "
+          f"{mem_bb.get('peak_bytes_in_use', 0)/2**30:.2f} GiB", flush=True)
+
+    # steady-state backbone (in-graph loop)
+    pyr, feats_dev, raw_dev, si_dev = engine.device_batch(batch)
+    from agile3d_tpu.models.agile3d import forward_backbone
+
+    ITERS = 3
+
+    @jax.jit
+    def bb_loop(params, buffers, bn_state, feats):
+        def body(i, f):
+            sc, _ = forward_backbone(params, buffers, bn_state, pyr,
+                                     f * (1.0 + 1e-38), raw_dev, si_dev,
+                                     training=False, cfg=cfg.model)
+            return feats * (1.0 + sc.mask_feat.reshape(-1)[0] * 1e-38)
+        return jax.lax.fori_loop(0, ITERS, body, feats)
+
+    fence(bb_loop(params, buffers, bn_state, feats_dev))
+    t0 = time.time()
+    fence(bb_loop(params, buffers, bn_state, feats_dev))
+    print(f"backbone steady: {(time.time()-t0)/ITERS*1e3:.1f} ms", flush=True)
+
+    # per-click decoder at this scale, mid-session click state
+    clicks = HostClicks(cfg.model.max_clicks)
+    cl_vox = rng.integers(0, n_valid, 30).astype(np.int32)
+    cl_obj = np.tile(np.arange(10, dtype=np.int32) + 1, 3)
+    clicks.extend(NewClicks(cl_vox, cl_obj, np.arange(30, dtype=np.int32)))
+    mc = engine._click_bucket(clicks.count)
+    cs = ClickState(vox=jnp.asarray(clicks.vox[None, :mc]),
+                    obj=jnp.asarray(clicks.obj[None, :mc]),
+                    time=jnp.asarray(clicks.time[None, :mc]))
+    num_obj_dev = jnp.asarray([10], jnp.int32)
+
+    FM = 10
+
+    @jax.jit
+    def fm_loop(params, buffers, scene, cs, num_obj):
+        def body(_, feat):
+            sc = scene._replace(mask_feat=feat)
+            out = forward_mask(params, buffers, sc, cs, num_obj,
+                               cfg=cfg.model)
+            pred = jnp.argmax(out["pred_masks"], -1)
+            return feat + pred[..., :1].astype(jnp.float32) * 1e-38
+        return jax.lax.fori_loop(0, FM, body, scene.mask_feat)
+
+    t0 = time.time()
+    fence(fm_loop(params, buffers, scene, cs, num_obj_dev))
+    t_cold = time.time() - t0
+    t0 = time.time()
+    fence(fm_loop(params, buffers, scene, cs, num_obj_dev))
+    per_click = (time.time() - t0) / FM * 1e3
+    mem = device_memory_stats()
+    print(f"forward_mask at {n_valid} voxels: {per_click:.1f} ms/click "
+          f"(compile {t_cold:.1f}s); HBM peak "
+          f"{mem.get('peak_bytes_in_use', 0)/2**30:.2f} GiB", flush=True)
+
+    hbm_total = mem.get("bytes_limit", 16 * 2**30)
+    print(f"single-chip ceiling: peak {mem.get('peak_bytes_in_use',0)/2**30:.2f} "
+          f"GiB of {hbm_total/2**30:.0f} GiB "
+          f"({mem.get('peak_bytes_in_use',0)/hbm_total*100:.0f}%) at "
+          f"{n_valid} voxels -> voxel-SP (parallel/sp.py) covers larger "
+          f"scans", flush=True)
+
+
+if __name__ == "__main__":
+    main()
