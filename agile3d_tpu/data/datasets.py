@@ -174,14 +174,20 @@ class InterSingleObjDataset:
 
 
 def collate_scenes(samples: list[SceneSample],
-                   buckets=DEFAULT_VOXEL_BUCKETS) -> SceneBatch:
+                   buckets=DEFAULT_VOXEL_BUCKETS,
+                   factored: bool = False) -> SceneBatch:
     """Concatenate samples into a flat batched pyramid + per-sample padded
     views (replaces ME batched_coordinates + ragged lists, reference
-    InterMultiObj3DSegDataset.py:126-136)."""
+    InterMultiObj3DSegDataset.py:126-136).
+
+    factored=True additionally builds the two-stage factored-conv maps
+    (kernel_maps.factored_maps) consumed when BackboneConfig.factored_conv
+    is set."""
     counts = [len(s.vox_coords) for s in samples]
     vox = np.vstack([s.vox_coords for s in samples])
     batch_ids = np.repeat(np.arange(len(samples), dtype=np.int32), counts)
-    pyr = pad_pyramid(build_pyramid(vox, batch_ids), buckets)
+    pyr = pad_pyramid(build_pyramid(vox, batch_ids, factored=factored),
+                      buckets)
     n0 = pyr.levels[0].grid.shape[0]
 
     feats = pad_features(np.vstack([s.feats for s in samples]).astype(np.float32), n0)

@@ -205,6 +205,30 @@ def apply_click_override(pred: np.ndarray, clicks: HostClicks) -> np.ndarray:
     return out
 
 
+def click_override_device(pred: jax.Array, vox: jax.Array,
+                          obj: jax.Array) -> jax.Array:
+    """Device-side clicked-voxel gt override (reference engine.py:101-104,
+    eval_multi_obj.py:137-141): scatter obj+1 at clicked voxels, then
+    replace the prediction there. Scatter-max means the LARGEST object id
+    wins when two clicks land on one voxel (the reference's dict-order
+    overwrite is unspecified there). Shapes: pred [N] with vox/obj [MC],
+    or batched pred [B, N] with vox/obj [B, MC]; vox == -1 slots are
+    ignored.
+
+    The single shared implementation for the eval scan, the train-rollout
+    scan, and the interactive serve step — keep them identical or the three
+    protocols silently diverge."""
+    n = pred.shape[-1]
+    tagged = jnp.where(vox >= 0, obj + 1, 0)
+    if pred.ndim == 2:
+        b_idx = jnp.arange(pred.shape[0])[:, None]
+        tag = jnp.zeros(pred.shape, jnp.int32).at[
+            b_idx, jnp.clip(vox, 0, n - 1)].max(tagged)
+    else:
+        tag = jnp.zeros(n, jnp.int32).at[jnp.clip(vox, 0, n - 1)].max(tagged)
+    return jnp.where(tag > 0, tag - 1, pred)
+
+
 # ---------------------------------------------------------------------------
 # IoU metrics (reference utils/seg.py:10-59)
 # ---------------------------------------------------------------------------

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from agile3d_tpu.config import Config
+from agile3d_tpu.engine.clicks import click_override_device
 from agile3d_tpu.models.agile3d import ClickState, forward_mask
 
 _DIST_CHUNK = 512
@@ -117,11 +118,7 @@ def make_device_rollout(cfg: Config, rounds: int, max_num_clicks_budget):
             out = forward_mask(params, buffers, scene, clicks,
                                num_obj[None], cfg=cfg.model)
             pred = jnp.argmax(out["pred_masks"][0], -1).astype(jnp.int32)
-            # clicked-voxel gt override (reference eval_multi_obj.py:137-141)
-            tag = jnp.zeros(n, jnp.int32).at[
-                jnp.clip(vox_t, 0, n - 1)].max(
-                jnp.where(vox_t >= 0, obj_t + 1, 0))
-            pred = jnp.where(tag > 0, tag - 1, pred)
+            pred = click_override_device(pred, vox_t, obj_t)
 
             # full-resolution mean IoU (reference seg.py:44-59)
             safe_inv = jnp.clip(inverse_map, 0, n - 1)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from agile3d_tpu.config import Config
+from agile3d_tpu.engine.clicks import click_override_device
 from agile3d_tpu.engine.device_eval import _boundary_distances_all
 from agile3d_tpu.models.agile3d import ClickState, forward_mask
 
@@ -117,11 +118,7 @@ def train_rollout_scan(cfg: Config, rounds: int):
             pred = jnp.argmax(out["pred_masks"], -1).astype(jnp.int32)
             # round 0 uses the zero prediction (reference engine.py:84-88)
             pred = jnp.where(current == 0, 0, pred)
-            # clicked-voxel gt override (reference engine.py:101-104)
-            tag = jnp.zeros((b, n), jnp.int32).at[
-                b_idx, jnp.clip(vox_t, 0, n - 1)].max(
-                jnp.where(vox_t >= 0, obj_t + 1, 0))
-            pred = jnp.where(tag > 0, tag - 1, pred)
+            pred = click_override_device(pred, vox_t, obj_t)
 
             keys = jax.random.split(rkey, b)
             new_vox, new_obj, rank, sel = jax.vmap(

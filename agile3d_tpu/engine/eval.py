@@ -42,7 +42,11 @@ class InteractiveEngine:
     and the kernels carried Mosaic-fragility cost. See PERF.md.
     """
 
-    def __init__(self, cfg: Config, decoder_impl: str = "auto"):
+    def __init__(self, cfg: Config, decoder_impl: str = "xla"):
+        if decoder_impl not in ("xla", "auto"):
+            raise ValueError(
+                f"decoder_impl={decoder_impl!r} is gone: the Pallas decoder "
+                "was deleted in round 2 (see PERF.md); only 'xla' remains")
         self.cfg = cfg
         self.decoder_impl = "xla"
 

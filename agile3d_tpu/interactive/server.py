@@ -14,6 +14,7 @@ plus mask/click .npy dumps (interactive_segmentation_user.py:92-108).
 from __future__ import annotations
 
 import os
+import threading
 from datetime import datetime
 
 import jax
@@ -61,11 +62,20 @@ class InteractiveSegmentationServer:
             self.params, self.buffers, self.bn_state = init_agile3d(
                 jax.random.PRNGKey(0), cfg.model)
         self.scene = None
+        # Serializes scene state (scene/_dev_full/n_valid/...) against the
+        # per-click path: web.py serves over ThreadingHTTPServer, so a
+        # /click racing a /scene/next would otherwise pair a new scene with
+        # stale device arrays.
+        self._lock = threading.RLock()
         self.load_scene(dataloader.index)
 
     # -- scene lifecycle (reference run_segmentation / load_next_scene) --
 
     def load_scene(self, idx: int):
+        with self._lock:
+            return self._load_scene_locked(idx)
+
+    def _load_scene_locked(self, idx: int):
         name = self.loader.load_scene(idx)
         coords, colors = self.loader.coords, self.loader.colors
         shifted = coords - coords.min(0, keepdims=True)
@@ -124,7 +134,8 @@ class InteractiveSegmentationServer:
 
         import jax.numpy as jnp
 
-        from agile3d_tpu.engine.clicks import iou_per_object
+        from agile3d_tpu.engine.clicks import (click_override_device,
+                                                iou_per_object)
         from agile3d_tpu.models.agile3d import ClickState, forward_mask
 
         cfg = self.cfg
@@ -138,11 +149,7 @@ class InteractiveSegmentationServer:
                                cfg=cfg.model)
             n = scene.mask_feat.shape[1]
             pred = jnp.argmax(out["pred_masks"][0], -1).astype(jnp.int32)
-            vox_t, obj_t = packed[0], packed[1]
-            tag = jnp.zeros(n, jnp.int32).at[
-                jnp.clip(vox_t, 0, n - 1)].max(
-                jnp.where(vox_t >= 0, obj_t + 1, 0))
-            pred = jnp.where(tag > 0, tag - 1, pred)
+            pred = click_override_device(pred, packed[0], packed[1])
             pred_full = jnp.where(full_valid,
                                   pred[jnp.clip(inverse_map, 0, n - 1)], 0)
             ious, present = iou_per_object(
@@ -170,9 +177,11 @@ class InteractiveSegmentationServer:
     def nearest_voxel(self, xyz: np.ndarray) -> int:
         """World position -> voxel row (the GUI's depth-unproject lookup,
         reference interactive_tool/utils.py:27-29)."""
-        shifted = xyz - self.loader.coords.min(0)
-        d = np.sum((self.sample.raw_coords - shifted[None, :]) ** 2, axis=1)
-        return int(np.argmin(d))
+        with self._lock:
+            shifted = xyz - self.loader.coords.min(0)
+            d = np.sum((self.sample.raw_coords - shifted[None, :]) ** 2,
+                       axis=1)
+            return int(np.argmin(d))
 
     # -- the per-click hot path --
 
@@ -187,6 +196,12 @@ class InteractiveSegmentationServer:
         devoxelize + IoU) -> one readback batch: on the remote-tunnel TPU
         each synchronized transfer costs ~10 ms, so the naive five-stage
         chain measured 102 ms where this path runs ~tens of ms."""
+        with self._lock:
+            return self._get_next_click_locked(
+                click_idx, click_time_idx, record, return_voxel)
+
+    def _get_next_click_locked(self, click_idx, click_time_idx, record,
+                               return_voxel):
         import jax.numpy as jnp
 
         vox, obj, tim = clicks_dict_to_arrays(

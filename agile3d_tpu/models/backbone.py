@@ -311,6 +311,12 @@ def backbone_forward(
         params = jax.tree_util.tree_map(
             lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, params)
 
+    if cfg.factored_conv and getattr(lv[0], "z3", None) is None:
+        raise ValueError(
+            "BackboneConfig.factored_conv=True but the pyramid carries no "
+            "factored maps — build it with build_pyramid(..., factored=True) "
+            "or collate_scenes(..., factored=True)")
+
     def zb_of(level):
         if cfg.factored_conv and getattr(level, "z3", None) is not None:
             return (level.z3, level.b9)

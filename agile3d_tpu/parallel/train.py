@@ -106,12 +106,15 @@ def make_dp_train_step(cfg: Config, tx, mesh: Mesh):
     dp_spec = NamedSharding(mesh, P("dp"))
     rep_spec = NamedSharding(mesh, P())
 
+    use_dropout = cfg.model.dropout > 0
+
     def shard_loss(p, buffers, bn_state, pyr, feats, raw, sample_idx,
-                   clicks, labels, num_obj):
+                   clicks, labels, num_obj, drng=None):
         scene, new_bn = forward_backbone(p, buffers, bn_state, pyr, feats,
                                          raw, sample_idx, training=True,
                                          cfg=cfg.model)
-        out = forward_mask(p, buffers, scene, clicks, num_obj, cfg=cfg.model)
+        out = forward_mask(p, buffers, scene, clicks, num_obj, cfg=cfg.model,
+                           train_rng=drng)
         target = jnp.maximum(labels, 0)
         vox_valid = scene.vox_valid & (labels >= 0)
         weights = click_loss_weights(scene.raw, vox_valid, clicks.vox,
@@ -120,9 +123,17 @@ def make_dp_train_step(cfg: Config, tx, mesh: Mesh):
                                    vox_valid, cfg.loss)
         return total_loss(losses, wd), (losses, new_bn)
 
-    def loss_fn(p, buffers, bn_state, batch_args):
-        per_shard = jax.vmap(
-            lambda *a: shard_loss(p, buffers, bn_state, *a))(*batch_args)
+    def loss_fn(p, buffers, bn_state, batch_args, drngs):
+        if use_dropout:
+            assert drngs is not None, (
+                "cfg.model.dropout > 0 requires per-shard dropout keys "
+                "(train_step's drngs arg)")
+            per_shard = jax.vmap(
+                lambda rng, *a: shard_loss(p, buffers, bn_state, *a,
+                                           drng=rng))(drngs, *batch_args)
+        else:
+            per_shard = jax.vmap(
+                lambda *a: shard_loss(p, buffers, bn_state, *a))(*batch_args)
         tot, (losses, new_bn) = per_shard
         mean_losses = jax.tree_util.tree_map(jnp.mean, losses)
         mean_bn = jax.tree_util.tree_map(lambda x: x.mean(0), new_bn)
@@ -130,10 +141,11 @@ def make_dp_train_step(cfg: Config, tx, mesh: Mesh):
 
     @jax.jit
     def train_step(params, buffers, bn_state, opt_state, pyr, feats, raw,
-                   sample_idx, clicks, labels, num_obj):
+                   sample_idx, clicks, labels, num_obj, drngs=None):
         batch_args = (pyr, feats, raw, sample_idx, clicks, labels, num_obj)
         (tot, (losses, new_bn)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, buffers, bn_state, batch_args)
+            loss_fn, has_aux=True)(params, buffers, bn_state, batch_args,
+                                   drngs)
         gnorm = optax.global_norm(grads)
         updates, new_opt = tx.update(grads, opt_state, params)
         new_params = optax.apply_updates(params, updates)
@@ -230,9 +242,12 @@ def dp_train_one_epoch(cfg: Config, mesh: Mesh, params, buffers, bn_state,
             params, buffers, bn_state, pyr_d, feats_d, raw_d, si_d,
             labels_d, num_obj_d, jnp.asarray(num_iters, jnp.int32), keys)
 
+        drngs = (jax.random.split(
+            jax.random.PRNGKey(int(np_rng.integers(2 ** 31))), d)
+            if cfg.model.dropout > 0 else None)
         params, bn_state, opt_state, tot, losses, gnorm = train_step(
             params, buffers, bn_state, opt_state, pyr_d, feats_d, raw_d,
-            si_d, clicks, labels_d, num_obj_d)
+            si_d, clicks, labels_d, num_obj_d, drngs)
         tot = float(tot)
         if not np.isfinite(tot):
             raise FloatingPointError(

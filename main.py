@@ -180,8 +180,10 @@ def main(args):
                 engine, params, buffers, bn_state, opt_state, train_step,
                 dataset_train, cfg, epoch, np_rng=np_rng, py_rng=py_rng,
                 device_rollout=args.device_rollout)
-        wandb.log({"train/epoch": epoch, "train/loss_epoch": stats["loss"],
-                   "train/mIoU_epoch": stats.get("mIoU", 0.0)})
+        epoch_log = {"train/epoch": epoch, "train/loss_epoch": stats["loss"]}
+        if "mIoU" in stats:  # the dp epoch driver doesn't compute mIoU
+            epoch_log["train/mIoU_epoch"] = stats["mIoU"]
+        wandb.log(epoch_log)
 
         if jax.process_index() == 0:
             paths = [output_dir / "checkpoint"]

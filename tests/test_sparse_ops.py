@@ -1,6 +1,8 @@
 """Sparse conv ops vs dense torch conv / brute force on tiny grids
 (SURVEY.md section 7 build order stage 1-2 test strategy)."""
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 import torch
@@ -237,3 +239,48 @@ def test_factored_conv_matches_direct():
         rows_direct = k ** 3 * len(grid)
         rows_factored = k * len(zmap) + k * k * len(grid)
         assert rows_factored < 0.75 * rows_direct, (rows_factored, rows_direct)
+
+
+def test_factored_conv_config_plumbing():
+    """BackboneConfig.factored_conv must either run the factored path
+    (pyramid built with factored=True) or fail loudly — never silently fall
+    back to the direct conv (round-2 review finding)."""
+    import jax
+    import pytest
+
+    from agile3d_tpu.config import BackboneConfig, Config, ModelConfig
+    from agile3d_tpu.data.datasets import SceneSample, collate_scenes
+    from agile3d_tpu.models.backbone import backbone_forward, init_backbone
+    from agile3d_tpu.sparse.quantize import sparse_quantize
+    from tests.synthetic import make_scene
+
+    rng = np.random.default_rng(11)
+    coords, colors, labels = make_scene(rng, n_points=900, num_obj=2)
+    vox, umap, imap = sparse_quantize(coords, 0.05)
+    sample = SceneSample(
+        vox_coords=vox, raw_coords=coords[umap],
+        feats=colors[umap].astype(np.float32) / 255.0,
+        labels=labels[umap].astype(np.int32),
+        labels_full=labels.astype(np.int32), inverse_map=imap,
+        click_idx={}, scene_name="t", num_obj=2)
+    buckets = (512, 1024, 2048, 4096)
+
+    bcfg = BackboneConfig(layers=(1, 1, 1, 1, 1, 1, 1, 1),
+                          factored_conv=True)
+    params, state = init_backbone(jax.random.PRNGKey(0), bcfg)
+
+    plain = collate_scenes([sample], buckets)
+    with pytest.raises(ValueError, match="factored"):
+        backbone_forward(params, state, plain.pyramid,
+                         jnp.asarray(plain.feats), cfg=bcfg)
+
+    fac = collate_scenes([sample], buckets, factored=True)
+    assert fac.pyramid.levels[0].z3 is not None
+    fmaps, _ = backbone_forward(params, state, fac.pyramid,
+                                jnp.asarray(fac.feats), cfg=bcfg)
+    ref, _ = backbone_forward(params, state, plain.pyramid,
+                              jnp.asarray(plain.feats),
+                              cfg=dataclasses.replace(bcfg,
+                                                      factored_conv=False))
+    np.testing.assert_allclose(np.asarray(fmaps[-1]), np.asarray(ref[-1]),
+                               rtol=2e-4, atol=2e-4)
