@@ -73,7 +73,16 @@ class ModelConfig:
     time_table_len: int = 256           # >= max_clicks (reference table is 200,
                                         # position_embedding.py:210; sized up so the
                                         # padded click budget can never index OOB)
-    xla_attn_chunk: int = 8192          # scan voxel-axis attention in chunks
+    # Max chunk for the online-softmax scanned attention; the actual chunk
+    # is the largest power-of-two divisor of N giving >= 6 scan steps
+    # (models/agile3d._pick_attn_chunk). Measured on v5e (PERF.md): the
+    # scan beats dense attention whenever the [B, H, Q, N] logits volume
+    # exceeds ~10M elements (15.0 -> 10.0 ms on the 185k-voxel bench scene)
+    # because the decoder is HBM-bound on those logits, not MXU-bound.
+    xla_attn_chunk: int = 32768
+    # dense attention below this b*Q*N*heads logits volume (break-even
+    # measured at ~8M; perf knob: sweep with tools/probe_decoder_bf16.py)
+    xla_attn_dense_threshold: int = 10_000_000
                                         # when N >= 2*chunk (0 disables);
                                         # bounds XLA-path HBM at large N
     backbone_dtype: str = "float32"     # 'bfloat16' halves backbone HBM

@@ -230,6 +230,24 @@ def _mask_module(params, queries, src, query_obj, query_valid, col_valid,
     return out, round_bias
 
 
+def _pick_attn_chunk(n: int, logits_volume: int, cfg: ModelConfig) -> int:
+    """Chunk size for the online-softmax scanned attention, 0 = dense.
+
+    Measured on v5e (tools/probe_decoder_bf16.py, PERF.md): the decoder is
+    HBM-bound on the materialized [B, H, Q, N] logits, so the scan wins
+    whenever that volume exceeds ~10M elements; the optimal chunk keeps
+    ~6-8 scan steps (fewer steps under-amortize nothing, more steps pay
+    per-step dispatch)."""
+    if not cfg.xla_attn_chunk or logits_volume <= cfg.xla_attn_dense_threshold:
+        return 0
+    c = cfg.xla_attn_chunk
+    while c >= 4096:
+        if n % c == 0 and n // c >= 6:
+            return c
+        c //= 2
+    return 0
+
+
 def forward_mask(
     params,
     buffers,
@@ -302,18 +320,15 @@ def forward_mask(
 
     src = scene.mask_feat
     round_bias = jnp.zeros((b, queries.shape[1], n))
-    # memory-lean scanned attention only when the [B, H, Q, N] logits would
-    # actually pressure HBM (large voxel count AND a large query bucket);
-    # small-Q rounds run dense — the scan's per-chunk dispatch overhead
-    # would dominate them
     q_total = queries.shape[1]
-    chunk = cfg.xla_attn_chunk if (
-        cfg.xla_attn_chunk and n >= 2 * cfg.xla_attn_chunk
-        and n % cfg.xla_attn_chunk == 0
-        and b * q_total * n * heads > 512_000_000) else 0
+    drop = cfg.dropout if train_rng is not None else 0.0
+    chunk = _pick_attn_chunk(n, b * q_total * n * heads, cfg)
+    if drop > 0:
+        # the scanned paths skip attention-probability dropout; training
+        # with dropout must keep the dense attention for exact semantics
+        chunk = 0
     preds = []
     n_slots = len(cfg.hlevels)
-    drop = cfg.dropout if train_rng is not None else 0.0
     rngs = (jax.random.split(train_rng, cfg.num_decoders * n_slots * 4)
             if train_rng is not None and cfg.dropout > 0 else None)
     for r in range(cfg.num_decoders):
