@@ -35,12 +35,24 @@ class BackboneConfig:
     scan_blocks: bool | None = None
     # Two-stage factored cubic convs (z-column concat + (dx,dy) gathers):
     # exact same math with ~2x fewer gathered ROWS — but measured 1.5x
-    # SLOWER on the chip (295 vs 196 ms on the 185k-voxel scene): XLA's
-    # scan-fused gathers cost ~bytes, not rows, so the h materialization
-    # plus 3x-wider stage-B rows add traffic instead of saving it.
-    # Kept as an op + maps (ops/sparse_conv.sparse_conv_factored) for
-    # revisiting with a fused kernel; default OFF. See PERF.md.
+    # SLOWER on the chip (295 vs 196 ms on the 185k-voxel scene). Explained
+    # by the granule cost model (see strip_conv below): gathers pay per
+    # ~512 B HBM transaction, so halving 384 B-row fetches saves nothing
+    # while the wider stage-B rows (3x C_in) cost 3x granules each.
+    # Kept as an op + maps (ops/sparse_conv.sparse_conv_factored); default
+    # OFF. See PERF.md.
     factored_conv: bool = False
+    # Strip-gather convs (ops/sparse_conv.sparse_conv_strips): each (dx,dy)
+    # column group of k z-offsets becomes ONE contiguous [k, C] gather
+    # (the sorted-row invariant makes present z-column cells consecutive —
+    # sparse/quantize.py module docstring). Measured on-chip: gathers are
+    # HBM-granule-bound (~512 B min transaction), NOT descriptor-bound, so
+    # multi-row slices only pay when they shrink granule count. Routed
+    # per conv by models/backbone._strips_wins (packed bf16 strip row must
+    # fit one ~512 B granule): the k5 stem drops 73.9 -> 19.3 ms and the
+    # narrow-channel k3/k2 convs ~3x; wide (>=96ch) convs keep the
+    # per-offset scan. Measured in tools/probe_packed_bf16.py.
+    strip_conv: bool = True
 
     @property
     def expansion(self) -> int:

@@ -33,6 +33,7 @@ from agile3d_tpu.ops.sparse_conv import (
     linear,
     sparse_conv,
     sparse_conv_factored,
+    sparse_conv_strips,
     sparse_conv_transpose,
 )
 from agile3d_tpu.sparse.grid import PaddedPyramid
@@ -200,16 +201,35 @@ def init_backbone(key, cfg: BackboneConfig = BackboneConfig()):
 # ---------------------------------------------------------------------------
 
 
-def _conv3(x, k3, zb, w):
-    """k3 conv: factored two-stage form when the maps exist (zb), else the
+def _strips_wins(k: int, cin: int) -> bool:
+    """Packed-strip gathers beat per-offset row gathers only when a packed
+    bf16 strip row fits one HBM transaction granule: k*C_in*2 <= ~512 B.
+    Measured (tools/probe_packed_bf16.py, 185k-voxel scene): k5 stem
+    73.9 -> 19.3 ms; 96-ch k3 (576 B rows) regresses 20 -> 36 ms.
+
+    AGILE3D_STRIPS_KS (perf sweeps): kernel sizes allowed to use strips,
+    e.g. "5" = stem only, "53" = stem + k3, "" = none."""
+    import os
+
+    ks = os.environ.get("AGILE3D_STRIPS_KS")
+    if ks is not None and str(k) not in ks:
+        return False
+    return k * cin * 2 <= 512
+
+
+def _conv3(x, k3, zb, w, strips=False):
+    """k3 conv: packed-strip gathers where they win (strips=True and narrow
+    C_in), factored two-stage form when the maps exist (zb tuple), else the
     direct 27-offset gather-GEMM."""
+    if strips and _strips_wins(3, x.shape[1]):
+        return sparse_conv_strips(x, k3, w, 3)
     if zb is not None:
         return sparse_conv_factored(x, zb[0], zb[1], w)
     return sparse_conv(x, k3, w)
 
 
 def _residual_block(p, s, x, k3, valid, zb=None, *, training: bool,
-                    momentum: float):
+                    momentum: float, strips: bool = False):
     """BasicBlock or Bottleneck, distinguished by the presence of conv3."""
     s_new = {}
 
@@ -220,11 +240,13 @@ def _residual_block(p, s, x, k3, valid, zb=None, *, training: bool,
 
     if "conv3" in p:  # bottleneck (reference resnet_block.py:117-137)
         out = jax.nn.relu(bn("norm1", linear(x, p["conv1"]["w"])))
-        out = jax.nn.relu(bn("norm2", _conv3(out, k3, zb, p["conv2"]["w"])))
+        out = jax.nn.relu(bn("norm2", _conv3(out, k3, zb, p["conv2"]["w"],
+                                             strips)))
         out = bn("norm3", linear(out, p["conv3"]["w"]))
     else:             # basic block (reference resnet_block.py:48-64)
-        out = jax.nn.relu(bn("norm1", _conv3(x, k3, zb, p["conv1"]["w"])))
-        out = bn("norm2", _conv3(out, k3, zb, p["conv2"]["w"]))
+        out = jax.nn.relu(bn("norm1", _conv3(x, k3, zb, p["conv1"]["w"],
+                                             strips)))
+        out = bn("norm2", _conv3(out, k3, zb, p["conv2"]["w"], strips))
 
     if "downsample" in p:
         residual = linear(x, p["downsample"]["conv"]["w"])
@@ -237,13 +259,13 @@ def _residual_block(p, s, x, k3, valid, zb=None, *, training: bool,
 
 
 def _stage(p_list, s_list, x, k3, valid, zb=None, *, training, momentum,
-           scan_blocks=False):
+           scan_blocks=False, strips=False):
     # per-block rematerialization: the backward pass recomputes each block's
     # activations instead of keeping all 26 blocks' intermediates alive
     # (jax.checkpoint, SURVEY.md TPU design notes on HBM)
     blk = jax.checkpoint(
         functools.partial(_residual_block, training=training,
-                          momentum=momentum))
+                          momentum=momentum, strips=strips))
     if not scan_blocks:
         s_new = []
         for bp, bs in zip(p_list, s_list):
@@ -322,10 +344,15 @@ def backbone_forward(
             return (level.z3, level.b9)
         return None
 
-    # stem at stride 1: factored two-stage when maps exist (5*|D5| + 25N
-    # gathered rows vs 125N direct), else grouped scan over the 125 offsets
+    # stem at stride 1: strip gathers (k^2 column strips vs k^3 row
+    # gathers), else factored two-stage when maps exist, else grouped scan
+    # over the 125 offsets
     stem_w = params["conv0p1s1"]["w"]
-    if (cfg.factored_conv and cfg.conv1_kernel_size == 5
+    if cfg.strip_conv and _strips_wins(cfg.conv1_kernel_size,
+                                       cfg.in_channels):
+        out = sparse_conv_strips(feats, lv[0].k5, stem_w,
+                                 cfg.conv1_kernel_size)
+    elif (cfg.factored_conv and cfg.conv1_kernel_size == 5
             and getattr(lv[0], "z5", None) is not None):
         out = sparse_conv_factored(feats, lv[0].z5, lv[0].b25, stem_w,
                                    unroll=False)
@@ -337,12 +364,17 @@ def backbone_forward(
     skips = [out_p1]
     out = out_p1
     for i in range(4):
-        out = sparse_conv(out, lv[i].down, params[f"conv{i+1}"]["w"])
+        if cfg.strip_conv and _strips_wins(2, out.shape[1]):
+            out = sparse_conv_strips(out, lv[i].down,
+                                     params[f"conv{i+1}"]["w"], 2)
+        else:
+            out = sparse_conv(out, lv[i].down, params[f"conv{i+1}"]["w"])
         out = jax.nn.relu(bn(f"bn{i+1}", out, lv[i + 1].valid))
         out, ns[f"block{i+1}"] = _stage(
             params[f"block{i+1}"], state[f"block{i+1}"], out,
             lv[i + 1].k3, lv[i + 1].valid, zb_of(lv[i + 1]),
-            training=training, momentum=mom, scan_blocks=scan_blocks)
+            training=training, momentum=mom, scan_blocks=scan_blocks,
+            strips=cfg.strip_conv)
         skips.append(out)
 
     feature_maps = [out]  # stride 16
@@ -358,7 +390,8 @@ def backbone_forward(
         out, ns[f"block{i+1}"] = _stage(
             params[f"block{i+1}"], state[f"block{i+1}"], out,
             lv[tgt].k3, lv[tgt].valid, zb_of(lv[tgt]),
-            training=training, momentum=mom, scan_blocks=scan_blocks)
+            training=training, momentum=mom, scan_blocks=scan_blocks,
+            strips=cfg.strip_conv)
         feature_maps.append(out)
 
     return feature_maps, ns

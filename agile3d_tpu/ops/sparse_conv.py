@@ -103,6 +103,134 @@ def sparse_conv(x: jax.Array, nbr: jax.Array, w: jax.Array,
     return acc
 
 
+def sparse_conv_strips(x: jax.Array, nbr: jax.Array, w: jax.Array,
+                       k_strip: int,
+                       bias: jax.Array | None = None,
+                       valid: jax.Array | None = None,
+                       group_size: int | None = None,
+                       packed_dtype=None) -> jax.Array:
+    """Packed-strip sparse conv — same math as ``sparse_conv``, fetching each
+    (dx, dy) column's k z-cells as ONE packed row instead of k row gathers.
+
+    Requires the sorted-row invariant (sparse/quantize.py module docstring):
+    voxel rows sorted by packed (batch,x,y,z) key with z the fastest axis.
+    Then for each (dx, dy) *column group* of ``k_strip`` kernel offsets, the
+    present neighbor cells are CONSECUTIVE rows of x (nothing can sort
+    between two cells of the same z-column). Packing k row-shifted copies of
+    x side by side (``y = [x | roll(x,-1) | ... ]``, pure VPU) turns the
+    k cell gathers into ONE row gather of y at the strip start, followed by
+    cheap masked selects that compact present cells into kernel-cell slots.
+
+    Why this wins (measured, tools/probe_packed_bf16.py): XLA:TPU gathers
+    are HBM-GRANULE-bound (~512 B minimum transaction, ~275 M granules/s),
+    so the packed fetch only pays when it reduces granule count:
+    ``k * C_in * itemsize <= ~512 B``. The k5 stem (C_in=3, bf16 rows
+    = 30 B) drops 5x granules -> 73.9 -> 19.3 ms on the 185k-voxel scene;
+    96-ch k3 convs (576 B packed rows) LOSE vs the per-offset scan — use
+    ``sparse_conv`` there (models/backbone.py picks per conv).
+
+    ``packed_dtype`` defaults to bfloat16 on TPU: gathered values feed only
+    the conv GEMM, whose default-precision TPU lowering rounds operands to
+    bf16 anyway, so results match the f32 path's (same single bf16 MXU
+    pass); on other backends it defaults to x.dtype (exact).
+
+    ``kernel_offsets`` enumerates (dx, dy, dz) with dz fastest, so
+    ``nbr[:, g*k : (g+1)*k]`` is exactly column group g and the kernel
+    reshapes to [G, k*C_in, C_out] with no permutation.
+
+    Args:
+      x:    [N, C_in] input features (zero pad rows).
+      nbr:  [M, G*k_strip] int32 gather map, -1 = absent.
+      w:    [G*k_strip, C_in, C_out].
+      k_strip: z-cells per column group (the kernel size).
+      group_size: column groups per scan step (contraction width
+        = group_size*k_strip*C_in); None = auto (wider slabs for tiny C_in
+        so the MXU contraction stays >= 128).
+    """
+    m, k_tot = nbr.shape
+    k = k_strip
+    assert k_tot % k == 0, (k_tot, k)
+    n_grp = k_tot // k
+    cin, cout = w.shape[1], w.shape[2]
+    out_dtype = jnp.promote_types(x.dtype, w.dtype)
+    if packed_dtype is None:
+        packed_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                        else x.dtype)
+    if group_size is None:
+        env = os.environ.get("AGILE3D_STRIP_GROUP")  # perf-sweep override
+        if env:
+            group_size = int(env)
+        else:
+            group_size = 1 if cin * k >= 128 else max(128 // (cin * k), 1)
+    gg = min(group_size, n_grp)
+
+    cells = nbr.reshape(m, n_grp, k)
+    present = cells >= 0
+    # strip start = lowest present cell row. The absent-cell sentinel must be
+    # the max INPUT row (cells index x, whose row count differs from m for
+    # down maps) so it can never undercut a real cell; empty columns read a
+    # garbage row that the -1 deltas then mask out.
+    r0 = jnp.min(jnp.where(present, cells, x.shape[0] - 1),
+                 axis=2).astype(jnp.int32)
+    # within-strip position of cell j = its row offset from the strip start
+    # (present cells are consecutive, so this equals its presence rank <= j)
+    delta = jnp.where(present, cells - r0[:, :, None], -1).astype(jnp.int8)
+
+    xc = x.astype(packed_dtype)
+    # packed strips: y[r] = [x[r] | x[r+1] | ... | x[r+k-1]]; roll wrap-around
+    # rows are never selected (their cells would be absent -> delta == -1)
+    y = jnp.concatenate([jnp.roll(xc, -d, axis=0) for d in range(k)], axis=1)
+
+    def strip_slab(r0_g, delta_g):
+        """Gather gg column strips and lay them out as a [m, gg*k*cin] slab."""
+        parts = []
+        for gi in range(r0_g.shape[0]):
+            rows = y[r0_g[gi]]                              # [m, k*cin]
+            for j in range(k):
+                sel = jnp.zeros((m, cin), packed_dtype)
+                for d in range(j + 1):  # cell j's rank can be at most j
+                    pick = delta_g[gi, :, j] == d
+                    sel = jnp.where(pick[:, None],
+                                    rows[:, d * cin:(d + 1) * cin], sel)
+                parts.append(sel)
+        return jnp.concatenate(parts, axis=1)
+
+    pad_g = (-n_grp) % gg
+    if pad_g:  # pad with empty groups (all cells absent -> select nothing)
+        r0 = jnp.concatenate([r0, jnp.zeros((m, pad_g), jnp.int32)], 1)
+        delta = jnp.concatenate(
+            [delta, jnp.full((m, pad_g, k), -1, jnp.int8)], 1)
+        w = jnp.concatenate(
+            [w, jnp.zeros((pad_g * k, cin, cout), w.dtype)], 0)
+    steps = (n_grp + pad_g) // gg
+    r0_s = r0.T.reshape(steps, gg, m)
+    delta_s = delta.transpose(1, 0, 2).reshape(steps, gg, m, k)
+    w_s = w.reshape(steps, gg * k * cin, cout).astype(packed_dtype)
+
+    if steps == 1:
+        slab = strip_slab(r0_s[0], delta_s[0])
+        acc = jnp.dot(slab, w_s[0], preferred_element_type=out_dtype)
+    else:
+        @jax.checkpoint
+        def body(acc, inp):
+            # remat: recompute the slab in the backward instead of stacking
+            # [m, gg*k*cin] activations across all scan steps
+            r0_g, delta_g, wj = inp
+            slab = strip_slab(r0_g, delta_g)
+            return acc + jnp.dot(slab, wj,
+                                 preferred_element_type=out_dtype), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((m, cout), dtype=out_dtype),
+            (r0_s, delta_s, w_s))
+    if bias is not None:
+        assert valid is not None, "bias add requires a validity mask"
+        acc = acc + bias[None, :]
+    if valid is not None:
+        acc = jnp.where(valid[:, None], acc, 0)
+    return acc
+
+
 def sparse_conv_factored(x: jax.Array, zmap: jax.Array, b2: jax.Array,
                          w: jax.Array, unroll: bool | None = None) -> jax.Array:
     """Two-stage factored cubic conv — EXACT same math as ``sparse_conv``

@@ -89,7 +89,10 @@ struct IndexMap {
 
 extern "C" {
 
-// Quantize float points to voxels with first-occurrence dedup.
+// Quantize float points to voxels with dedup; voxel rows come out SORTED
+// by packed key (z-minor lexicographic) — the strip-gather invariant
+// (see agile3d_tpu/sparse/quantize.py module docstring). unique_map picks
+// each voxel's first point in point order.
 // coords [n,3] row-major; outputs: vox [n,3] (first n_unique rows used),
 // unique_map [n], inverse_map [n]. Returns n_unique, or -1 on
 // out-of-range coordinates.
@@ -103,20 +106,40 @@ int64_t agile3d_quantize(const float* coords, int64_t n, double qsize,
     vx[3 * i + 1] = (int32_t)std::floor(coords[3 * i + 1] / qsize);
     vx[3 * i + 2] = (int32_t)std::floor(coords[3 * i + 2] / qsize);
   }
+  // Pass 1: first-occurrence dedup with provisional ids.
+  std::vector<int64_t> prov_key;
+  std::vector<int64_t> prov_first;
+  prov_key.reserve((size_t)n);
+  prov_first.reserve((size_t)n);
   int64_t n_unique = 0;
   for (int64_t i = 0; i < n; ++i) {
     int64_t key = pack(0, vx[3 * i], vx[3 * i + 1], vx[3 * i + 2]);
     if (key < 0) return -1;
     int32_t row = map.insert((uint64_t)key, (int32_t)n_unique);
     if (row == (int32_t)n_unique) {
-      vox[3 * n_unique + 0] = vx[3 * i + 0];
-      vox[3 * n_unique + 1] = vx[3 * i + 1];
-      vox[3 * n_unique + 2] = vx[3 * i + 2];
-      unique_map[n_unique] = i;
+      prov_key.push_back(key);
+      prov_first.push_back(i);
       ++n_unique;
     }
-    inverse_map[i] = row;
+    inverse_map[i] = row;  // provisional id, remapped below
   }
+  // Pass 2: sort voxels by key; remap provisional ids to sorted ranks.
+  std::vector<int32_t> order((size_t)n_unique);
+  for (int64_t i = 0; i < n_unique; ++i) order[i] = (int32_t)i;
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    return prov_key[a] < prov_key[b];
+  });
+  std::vector<int32_t> rank((size_t)n_unique);
+  for (int64_t r = 0; r < n_unique; ++r) {
+    const int32_t p = order[r];
+    rank[p] = (int32_t)r;
+    const int64_t src = prov_first[p];
+    vox[3 * r + 0] = vx[3 * src + 0];
+    vox[3 * r + 1] = vx[3 * src + 1];
+    vox[3 * r + 2] = vx[3 * src + 2];
+    unique_map[r] = src;
+  }
+  for (int64_t i = 0; i < n; ++i) inverse_map[i] = rank[inverse_map[i]];
   return n_unique;
 }
 
@@ -161,14 +184,20 @@ int64_t agile3d_neighbor_map(const int32_t* grid, const int32_t* batch,
   return 0;
 }
 
-// Stride-2 transition: coarse grid (first-occurrence order of floor(g/2)),
-// parent row and kernel-2 element per fine voxel, and the inverse down map
-// (down[coarse*8 + elem] = fine row, -1 absent). Returns n_coarse or -1.
+// Stride-2 transition: coarse grid SORTED by packed (batch,x,y,z) key (the
+// strip-gather invariant — floor(g/2) does not preserve lexicographic order,
+// so the coarse level is re-sorted), parent row and kernel-2 element per
+// fine voxel, and the inverse down map (down[coarse*8 + elem] = fine row,
+// -1 absent). Returns n_coarse or -1.
 int64_t agile3d_stride_down(const int32_t* grid, const int32_t* batch,
                             int64_t n, int32_t* coarse_grid,
                             int32_t* coarse_batch, int32_t* parent,
                             int32_t* child_off, int32_t* down) {
   IndexMap map((size_t)n);
+  std::vector<int64_t> prov_key;
+  std::vector<int64_t> prov_first;
+  prov_key.reserve((size_t)n);
+  prov_first.reserve((size_t)n);
   int64_t n_coarse = 0;
   for (int64_t i = 0; i < n; ++i) {
     // arithmetic shift = floor division for negatives (matches numpy >>)
@@ -178,17 +207,31 @@ int64_t agile3d_stride_down(const int32_t* grid, const int32_t* batch,
     if (key < 0) return -1;
     int32_t row = map.insert((uint64_t)key, (int32_t)n_coarse);
     if (row == (int32_t)n_coarse) {
-      coarse_grid[3 * n_coarse + 0] = cx;
-      coarse_grid[3 * n_coarse + 1] = cy;
-      coarse_grid[3 * n_coarse + 2] = cz;
-      coarse_batch[n_coarse] = batch[i];
+      prov_key.push_back(key);
+      prov_first.push_back(i);
       ++n_coarse;
     }
-    parent[i] = row;
+    parent[i] = row;  // provisional id, remapped below
     // kernel-2 element enumeration order: x slowest (kernel_offsets(2))
     child_off[i] = ((grid[3 * i] & 1) << 2) | ((grid[3 * i + 1] & 1) << 1) |
                    (grid[3 * i + 2] & 1);
   }
+  std::vector<int32_t> order((size_t)n_coarse);
+  for (int64_t i = 0; i < n_coarse; ++i) order[i] = (int32_t)i;
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    return prov_key[a] < prov_key[b];
+  });
+  std::vector<int32_t> rank((size_t)n_coarse);
+  for (int64_t r = 0; r < n_coarse; ++r) {
+    const int32_t p = order[r];
+    rank[p] = (int32_t)r;
+    const int64_t src = prov_first[p];
+    coarse_grid[3 * r + 0] = grid[3 * src] >> 1;
+    coarse_grid[3 * r + 1] = grid[3 * src + 1] >> 1;
+    coarse_grid[3 * r + 2] = grid[3 * src + 2] >> 1;
+    coarse_batch[r] = batch[src];
+  }
+  for (int64_t i = 0; i < n; ++i) parent[i] = rank[parent[i]];
   for (int64_t j = 0; j < n_coarse * 8; ++j) down[j] = -1;
   for (int64_t i = 0; i < n; ++i)
     down[(int64_t)parent[i] * 8 + child_off[i]] = (int32_t)i;

@@ -233,6 +233,18 @@ def build_pyramid(
         batch = np.zeros(grid.shape[0], dtype=np.int32)
     batch = batch.astype(np.int32)
 
+    # Enforce the sorted-row invariant (sparse/quantize.py module docstring):
+    # rows strictly increasing by packed (batch,x,y,z) key. Coarser levels
+    # re-establish it below; the strip-gather convs
+    # (ops/sparse_conv.sparse_conv_strips) are silently WRONG without it.
+    keys0 = pack_coords(grid, batch)
+    if grid.shape[0] > 1 and not (np.diff(keys0) > 0).all():
+        raise ValueError(
+            "build_pyramid: voxel rows must be sorted by packed "
+            "(batch,x,y,z) key (z fastest) and unique — sort with "
+            "np.argsort(pack_coords(grid, batch)); sparse_quantize already "
+            "emits this order")
+
     levels: list[LevelMaps] = []
     # Bit weights turning (g mod 2) into the kernel-2 element index,
     # consistent with kernel_offsets(2) enumeration order.
@@ -279,14 +291,15 @@ def build_pyramid(
         else:
             coarse_of_fine = grid >> 1  # floor(g/2) incl. negatives
             ckeys = pack_coords(coarse_of_fine, batch)
+            # np.unique emits unique keys in sorted order — the coarse level
+            # inherits the sorted-row invariant (strip gathers; see
+            # sparse/quantize.py module docstring). floor(g/2) is NOT
+            # lex-monotone, so the re-sort here is load-bearing.
             _, first_idx, inv_sorted = np.unique(
                 ckeys, return_index=True, return_inverse=True)
-            corder = np.argsort(first_idx, kind="stable")
-            rank = np.empty_like(corder)
-            rank[corder] = np.arange(corder.size)
-            coarse_grid = coarse_of_fine[first_idx[corder]]
-            coarse_batch = batch[first_idx[corder]]
-            parent = rank[inv_sorted].astype(np.int32)      # fine -> coarse row
+            coarse_grid = coarse_of_fine[first_idx]
+            coarse_batch = batch[first_idx]
+            parent = inv_sorted.astype(np.int32)            # fine -> coarse row
 
             # down map: coarse j gathers fine voxels at 2*g_j + {0,1}^3
             n_coarse = coarse_grid.shape[0]

@@ -7,8 +7,12 @@ coordinates in C++/CUDA and returns one representative point per voxel.
 
 This implementation runs host-side in numpy (the TPU does not want to do
 pointer-chasing hash maps); a C++ fast path lives in sparse/csrc. Voxel order
-is *first occurrence* in point order — deterministic, unlike ME's hash-map
-order. Downstream code never relies on a particular order.
+is *sorted by packed (x,y,z) key* (z-minor lexicographic) — deterministic,
+unlike ME's hash-map order, and a load-bearing invariant: with z the fastest
+key axis, the occupied cells of any voxel's z-column are CONSECUTIVE rows,
+which turns the per-offset gathers of the sparse convolutions into contiguous
+strip gathers (ops/sparse_conv.sparse_conv_strips). kernel_maps.build_pyramid
+re-establishes the same order at every coarser level.
 """
 
 from __future__ import annotations
@@ -48,7 +52,8 @@ def sparse_quantize(
       (voxel_coords int32 [M, 3], unique_map int64 [M], inverse_map int64 [N])
       such that ``voxel_coords == floor(coords/qsize)[unique_map]`` and
       ``inverse_map[i]`` is the voxel row of point i. Voxels are ordered by
-      first occurrence in point order.
+      packed coordinate key (z-minor lexicographic — see module docstring);
+      ``unique_map`` still picks each voxel's FIRST point in point order.
     """
     from agile3d_tpu.sparse.native import native_quantize
 
@@ -58,14 +63,12 @@ def sparse_quantize(
 
     vox = np.floor(coords / quantization_size).astype(np.int32)
     keys = pack_coords(vox)
-    _, first_idx, inv_sorted = np.unique(keys, return_index=True, return_inverse=True)
-    # Reorder unique voxels by first occurrence so ordering is point-stable.
-    order = np.argsort(first_idx, kind="stable")
-    rank = np.empty_like(order)
-    rank[order] = np.arange(order.size)
-    unique_map = first_idx[order]
-    inverse_map = rank[inv_sorted]
-    return vox[unique_map], unique_map.astype(np.int64), inverse_map.astype(np.int64)
+    # np.unique returns unique keys in sorted order and first_idx the first
+    # occurrence of each — exactly the sorted-voxel contract.
+    _, first_idx, inverse_map = np.unique(keys, return_index=True,
+                                          return_inverse=True)
+    return (vox[first_idx], first_idx.astype(np.int64),
+            inverse_map.astype(np.int64))
 
 
 def batched_coordinates(coords_list: list[np.ndarray]) -> np.ndarray:

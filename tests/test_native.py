@@ -42,8 +42,9 @@ def test_native_pyramid_matches_numpy(lib):
     vox = rng.integers(-20, 20, size=(3000, 3)).astype(np.int32)
     batch = rng.integers(0, 3, size=3000).astype(np.int32)
     key = np.stack([batch, vox[:, 0], vox[:, 1], vox[:, 2]], 1)
+    # build_pyramid requires the sorted-row invariant (rows sorted by
+    # packed (batch,x,y,z) key — what sparse_quantize emits)
     _, keep = np.unique(key, axis=0, return_index=True)
-    keep = np.sort(keep)
     vox, batch = vox[keep], batch[keep]
 
     nat = build_pyramid(vox, batch)

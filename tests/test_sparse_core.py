@@ -22,15 +22,15 @@ def test_quantize_brute_force():
     vox, umap, imap = sparse_quantize(pts, 0.5)
 
     ref = np.floor(pts / 0.5).astype(np.int32)
-    seen = {}
-    exp_vox, exp_umap = [], []
-    exp_imap = np.empty(len(pts), dtype=np.int64)
+    # contract: voxel rows sorted lexicographically by (x, y, z), z minor;
+    # unique_map picks each voxel's FIRST point in point order
+    first = {}
     for i, v in enumerate(map(tuple, ref)):
-        if v not in seen:
-            seen[v] = len(exp_vox)
-            exp_vox.append(v)
-            exp_umap.append(i)
-        exp_imap[i] = seen[v]
+        first.setdefault(v, i)
+    exp_vox = sorted(first)
+    exp_umap = [first[v] for v in exp_vox]
+    rank = {v: r for r, v in enumerate(exp_vox)}
+    exp_imap = np.array([rank[tuple(v)] for v in ref], dtype=np.int64)
     np.testing.assert_array_equal(vox, np.array(exp_vox, dtype=np.int32))
     np.testing.assert_array_equal(umap, np.array(exp_umap))
     np.testing.assert_array_equal(imap, exp_imap)
@@ -43,9 +43,9 @@ def test_quantize_negative_coords():
     pts = np.array([[-0.01, 0.0, 0.0], [-0.49, 0.0, 0.0], [-0.51, 0.0, 0.0]],
                    dtype=np.float32)
     vox, _, imap = sparse_quantize(pts, 0.5)
-    # floor semantics: -0.01/-0.49 -> -1, -0.51 -> -2
-    np.testing.assert_array_equal(vox[:, 0], [-1, -2])
-    np.testing.assert_array_equal(imap, [0, 0, 1])
+    # floor semantics: -0.01/-0.49 -> -1, -0.51 -> -2 (rows key-sorted)
+    np.testing.assert_array_equal(vox[:, 0], [-2, -1])
+    np.testing.assert_array_equal(imap, [1, 1, 0])
 
 
 def test_batched_coordinates():
@@ -70,10 +70,9 @@ def test_pyramid_neighbor_maps(batched):
     rng = np.random.default_rng(1)
     vox = rng.integers(-8, 8, size=(400, 3)).astype(np.int32)
     batch = rng.integers(0, 3, size=400).astype(np.int32) if batched else None
-    # dedup within batch
+    # dedup within batch; np.unique's lex order == the sorted-row invariant
     key = [tuple([batch[i] if batched else 0, *vox[i]]) for i in range(400)]
     _, keep = np.unique(key, axis=0, return_index=True)
-    keep = np.sort(keep)
     vox = vox[keep]
     batch = batch[keep] if batched else None
 

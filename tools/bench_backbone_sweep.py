@@ -26,7 +26,8 @@ from agile3d_tpu.sparse.quantize import sparse_quantize
 from tests.synthetic import make_scene
 
 scan_blocks = os.environ.get("AGILE3D_SCAN_BLOCKS") == "1"
-cfg = BackboneConfig(scan_blocks=scan_blocks)
+strip_conv = os.environ.get("AGILE3D_STRIP_CONV", "1") == "1"
+cfg = BackboneConfig(scan_blocks=scan_blocks, strip_conv=strip_conv)
 rng = np.random.default_rng(0)
 coords, colors, labels = make_scene(rng, n_points=400000, num_obj=8,
                                     extent=8.0)
@@ -57,7 +58,9 @@ for _ in range(3):
     a = time.time(); fence(loop(params, state, x)); ts.append(
         (time.time() - a) / ITERS * 1e3)
 print(f"RESULT group={os.environ.get('AGILE3D_SCAN_GROUP','4')} "
-      f"scan_blocks={int(scan_blocks)} voxels={len(vox)} "
+      f"scan_blocks={int(scan_blocks)} strips={int(strip_conv)} "
+      f"strip_group={os.environ.get('AGILE3D_STRIP_GROUP','auto')} "
+      f"voxels={len(vox)} "
       f"compile={t1-t0:.1f}s steady={min(ts):.1f}ms")
 """
 
