@@ -53,6 +53,13 @@ class BackboneConfig:
     # narrow-channel k3/k2 convs ~3x; wide (>=96ch) convs keep the
     # per-offset scan. Measured in tools/probe_packed_bf16.py.
     strip_conv: bool = True
+    # Zero-select z-dilated stem (sparse_conv_zdilated): exact and
+    # select-free, but measured SLOWER than the packed strips on v5e —
+    # per-row gather cost grows ~3x when the gather operand spans the
+    # dilated set (|D| ~= 2.7N): 48.7 ms (f32) / 87.2 (bf16) vs 19.3 for
+    # strips on the 185k-voxel stem. Kept as an opt-in + maps for
+    # hardware where footprint matters less. PERF.md zdilated postmortem.
+    stem_zdilated: bool = False
 
     @property
     def expansion(self) -> int:

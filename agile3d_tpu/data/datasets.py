@@ -119,6 +119,19 @@ class InterMultiObjDataset:
         labels_qv = labels_full[unique_map]
 
         click_idx = spec.get("clicks", {}) if spec else {}
+        if click_idx:
+            # The reference's val lists record clicks as rows of the
+            # ME-quantized cloud (reference InterMultiObj3DSegDataset.py:
+            # 78-86), whose voxel order is first occurrence in point order.
+            # Our rows are key-sorted (sparse/quantize.py), so translate:
+            # first-occurrence rank r <-> our row fo[r], where fo sorts our
+            # voxels by their first point. The label check below stays as
+            # the canary for the ME-order assumption.
+            fo = np.argsort(unique_map, kind="stable")
+            click_idx = {
+                obj_id: [int(fo[r]) for r in rows]
+                for obj_id, rows in click_idx.items()
+            }
         for obj_id, rows in click_idx.items():
             if not np.all(labels_qv[rows] == int(obj_id)):
                 raise ValueError(

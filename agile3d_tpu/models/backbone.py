@@ -35,6 +35,7 @@ from agile3d_tpu.ops.sparse_conv import (
     sparse_conv_factored,
     sparse_conv_strips,
     sparse_conv_transpose,
+    sparse_conv_zdilated,
 )
 from agile3d_tpu.sparse.grid import PaddedPyramid
 
@@ -348,8 +349,16 @@ def backbone_forward(
     # gathers), else factored two-stage when maps exist, else grouped scan
     # over the 125 offsets
     stem_w = params["conv0p1s1"]["w"]
-    if cfg.strip_conv and _strips_wins(cfg.conv1_kernel_size,
-                                       cfg.in_channels):
+    if (cfg.strip_conv and cfg.stem_zdilated
+            and getattr(lv[0], "zd_q0", None) is not None
+            and _strips_wins(cfg.conv1_kernel_size, cfg.in_channels)):
+        # zero-select packed windows over the z-dilated set — measured
+        # SLOWER than strips on v5e (gather cost grows with operand
+        # footprint, |D| ~= 2.7N; PERF.md zdilated postmortem): opt-in only
+        out = sparse_conv_zdilated(feats, lv[0].zd_src, lv[0].zd_q0,
+                                   stem_w, cfg.conv1_kernel_size)
+    elif cfg.strip_conv and _strips_wins(cfg.conv1_kernel_size,
+                                         cfg.in_channels):
         out = sparse_conv_strips(feats, lv[0].k5, stem_w,
                                  cfg.conv1_kernel_size)
     elif (cfg.factored_conv and cfg.conv1_kernel_size == 5

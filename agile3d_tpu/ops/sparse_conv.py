@@ -178,7 +178,11 @@ def sparse_conv_strips(x: jax.Array, nbr: jax.Array, w: jax.Array,
 
     xc = x.astype(packed_dtype)
     # packed strips: y[r] = [x[r] | x[r+1] | ... | x[r+k-1]]; roll wrap-around
-    # rows are never selected (their cells would be absent -> delta == -1)
+    # rows are never selected (their cells would be absent -> delta == -1).
+    # NO optimization_barrier here: forcing y to materialize pins a
+    # gather-hostile layout and measured 3.7x SLOWER (72 vs 19 ms for the
+    # k5 stem standalone) — XLA's own materialization choice is the fast
+    # one (PERF.md round-2 zdilated postmortem).
     y = jnp.concatenate([jnp.roll(xc, -d, axis=0) for d in range(k)], axis=1)
 
     def strip_slab(r0_g, delta_g):
@@ -228,6 +232,78 @@ def sparse_conv_strips(x: jax.Array, nbr: jax.Array, w: jax.Array,
         acc = acc + bias[None, :]
     if valid is not None:
         acc = jnp.where(valid[:, None], acc, 0)
+    return acc
+
+
+def sparse_conv_zdilated(x: jax.Array, src: jax.Array, q0: jax.Array,
+                         w: jax.Array, k: int,
+                         packed_dtype=None,
+                         group_size: int | None = None) -> jax.Array:
+    """Zero-select packed-window conv over z-complete dilated maps — same
+    math as ``sparse_conv`` with the full k^3 map, built for the k5 stem.
+
+    ``sparse_conv_strips`` needs per-cell masked selects to compact a
+    column's PRESENT cells into kernel-cell slots; those selects fall out
+    of XLA fusion inside the full backbone and eat the gather win (PERF.md
+    round-2 strips section). Here the input is first expanded onto the
+    z-dilated set D = V (+) z*[-(k-1), k-1] (kernel_maps.dilated_window_maps):
+    every needed z-window is FULLY present in D at consecutive rows, so
+    cell dz' sits at the FIXED offset q0 + (dz'+r) and the whole window is
+    one packed-row gather with no selects at all.
+
+    Args:
+      x:   [N, C_in] level features (zero pad rows).
+      src: [Nd] int32 — V row per D position, -1 for dilation padding.
+      q0:  [M, k*k] int32 — window-start D rows per (dx, dy) offset,
+           -1 when the window holds no V cell.
+      w:   [k^3, C_in, C_out] (kernel_offsets order, dz fastest).
+    """
+    m = q0.shape[0]
+    n_grp = q0.shape[1]
+    cin, cout = w.shape[1], w.shape[2]
+    out_dtype = jnp.promote_types(x.dtype, w.dtype)
+    if packed_dtype is None:
+        packed_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                        else x.dtype)
+    if group_size is None:
+        group_size = 1 if cin * k >= 128 else max(128 // (cin * k), 1)
+    gg = min(group_size, n_grp)
+
+    xc = x.astype(packed_dtype)
+    # features on the dilated set (dilation-padding positions are zero)
+    x_d = jnp.where((src >= 0)[:, None],
+                    xc[jnp.clip(src, 0, xc.shape[0] - 1)], 0)
+    nd = x_d.shape[0]
+    # packed windows: y[q] = [x_d[q] | x_d[q+1] | ... | x_d[q+k-1]]
+    y = jnp.concatenate([jnp.roll(x_d, -d, axis=0) for d in range(k)], axis=1)
+    y = jnp.concatenate([y, jnp.zeros((1, k * cin), packed_dtype)], axis=0)
+    r = jnp.where(q0 >= 0, q0, nd).astype(jnp.int32)  # absent -> zero row
+
+    pad_g = (-n_grp) % gg
+    if pad_g:
+        r = jnp.concatenate([r, jnp.full((m, pad_g), nd, jnp.int32)], 1)
+        w = jnp.concatenate(
+            [w, jnp.zeros((pad_g * k, cin, cout), w.dtype)], 0)
+    steps = (n_grp + pad_g) // gg
+    r_s = r.T.reshape(steps, gg, m)
+    w_s = w.reshape(steps, gg * k * cin, cout).astype(packed_dtype)
+
+    def slab_of(r_g):
+        return jnp.concatenate([y[r_g[gi]] for gi in range(r_g.shape[0])],
+                               axis=1)
+
+    if steps == 1:
+        acc = jnp.dot(slab_of(r_s[0]), w_s[0],
+                      preferred_element_type=out_dtype)
+    else:
+        @jax.checkpoint
+        def body(acc, inp):
+            r_g, wj = inp
+            return acc + jnp.dot(slab_of(r_g), wj,
+                                 preferred_element_type=out_dtype), None
+
+        acc, _ = jax.lax.scan(
+            body, jnp.zeros((m, cout), dtype=out_dtype), (r_s, w_s))
     return acc
 
 

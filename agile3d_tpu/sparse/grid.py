@@ -31,6 +31,9 @@ class PaddedLevel(NamedTuple):
     b9: np.ndarray | None = None   # int32 [Np, 9]
     z5: np.ndarray | None = None   # int32 [Nd5p, 5]
     b25: np.ndarray | None = None  # int32 [Np, 25]
+    # z-complete dilated stem maps (sparse_conv_zdilated)
+    zd_src: np.ndarray | None = None  # int32 [Ndp]
+    zd_q0: np.ndarray | None = None   # int32 [Np, k*k]
 
 
 class PaddedPyramid(NamedTuple):
@@ -82,6 +85,8 @@ def pad_pyramid(
                 b9=_pad_rows(getattr(lvl, "b9", None), n, -1),
                 z5=pad_z(getattr(lvl, "z5", None)),
                 b25=_pad_rows(getattr(lvl, "b25", None), n, -1),
+                zd_src=pad_z(getattr(lvl, "zd_src", None)),
+                zd_q0=_pad_rows(getattr(lvl, "zd_q0", None), n, -1),
             )
         )
     return PaddedPyramid(levels=tuple(out))

@@ -112,6 +112,10 @@ class LevelMaps:
     b9: np.ndarray | None = None     # int32 [N, 9] rows into D3
     z5: np.ndarray | None = None     # int32 [Nd5, 5] finest level only
     b25: np.ndarray | None = None    # int32 [N, 25] rows into D5
+    # z-complete dilated window maps for the stem (dilated_window_maps):
+    # zero-select packed-window conv (ops/sparse_conv.sparse_conv_zdilated)
+    zd_src: np.ndarray | None = None  # int32 [Nd] V row per D position, -1 pad
+    zd_q0: np.ndarray | None = None   # int32 [N, k*k] window starts, -1 absent
 
     @property
     def num_voxels(self) -> int:
@@ -208,12 +212,72 @@ def factored_maps(grid: np.ndarray, batch: np.ndarray,
     return zmap, b2
 
 
+def dilated_window_maps(grid: np.ndarray, batch: np.ndarray,
+                        keys_sorted: np.ndarray, order: np.ndarray, k: int):
+    """Z-complete window maps for a k^3 conv: dilate V by +-(k-1) in z so
+    every needed z-window is FULLY present in the dilated set D.
+
+    Claim: if any cell (x+dx, y+dy, z+dz'), |dz'| <= r (r=(k-1)/2) is in V,
+    then ALL positions z-r..z+r of that column are in D = V (+) z*[-2r, 2r]:
+    a V-cell at z+a (|a| <= r) dilates to [z+a-2r, z+a+2r] which covers
+    [z-r, z+r]. D is sorted, so those k positions are CONSECUTIVE D rows
+    and cell dz' sits at EXACTLY q0 + (dz'+r) — no per-row compaction, the
+    property the packed-strip conv's masked selects exist to work around.
+
+    Returns:
+      src [Nd] int32 — V row of each D position, -1 where the position is
+        z-dilation padding (feature value 0);
+      q0  [N, k*k] int32 — for each (dx, dy) offset (enumerated like
+        kernel_offsets' (dx, dy) majors), the D row of position
+        (x+dx, y+dy, z-r); -1 when the whole window is absent from V.
+    """
+    r = (k - 1) // 2
+    n = grid.shape[0]
+
+    shifted = []
+    for dz in range(-2 * r, 2 * r + 1):
+        g2 = grid.copy()
+        g2[:, 2] += dz
+        shifted.append(pack_coords(g2, batch))
+    dkeys = np.unique(np.concatenate(shifted))
+    # src: D position -> V row (D ⊇ V, and both share the key order)
+    pos = np.minimum(np.searchsorted(keys_sorted, dkeys),
+                     keys_sorted.size - 1)
+    src = np.where(keys_sorted[pos] == dkeys, order[pos], -1).astype(np.int32)
+
+    q0 = np.empty((n, k * k), np.int32)
+    col = 0
+    rng = range(-r, r + 1)
+    for dx in rng:
+        for dy in rng:
+            # window start = position (x+dx, y+dy, z-r) in D
+            q = grid.copy()
+            q[:, 0] += dx
+            q[:, 1] += dy
+            q[:, 2] -= r
+            qk = pack_coords(q, batch)
+            p = np.minimum(np.searchsorted(dkeys, qk), len(dkeys) - 1)
+            p_end = np.minimum(p + (k - 1), len(dkeys) - 1)
+            # FULL window must be in D: start and end keys present exactly
+            # k-1 rows apart (sorted unique ints => the rows between are
+            # exactly the intermediate positions). A partial window (possible
+            # when only far-away cells dilated into it) contains no V cell,
+            # so dropping it to -1 is exact. z steps add directly onto the
+            # packed key (z is the low field; MARGIN guards the carry).
+            hit = ((dkeys[p] == qk) & (p_end == p + (k - 1))
+                   & (dkeys[p_end] == qk + (k - 1)))
+            q0[:, col] = np.where(hit, p, -1).astype(np.int32)
+            col += 1
+    return src, q0
+
+
 def build_pyramid(
     voxel_coords: np.ndarray,
     batch: np.ndarray | None = None,
     num_levels: int = 5,
     stem_kernel: int = 5,
     factored: bool = False,
+    dilated_stem: bool = False,
 ) -> Pyramid:
     """Build the full UNet coordinate pyramid + all gather maps.
 
@@ -276,10 +340,17 @@ def build_pyramid(
             z3, b9 = factored_maps(grid, batch, keys_sorted, order, 3)
             if lvl == 0 and stem_kernel == 5:
                 z5, b25 = factored_maps(grid, batch, keys_sorted, order, 5)
+        zd_src = zd_q0 = None
+        if dilated_stem and lvl == 0:
+            if keys_sorted is None:
+                keys_sorted, order = _sorted_index(grid, batch)
+            zd_src, zd_q0 = dilated_window_maps(grid, batch, keys_sorted,
+                                                order, stem_kernel)
         levels.append(
             LevelMaps(grid=grid, batch=batch, k3=k3, k5=k5,
                       down=None, up_parent=None, up_offset=None,
-                      z3=z3, b9=b9, z5=z5, b25=b25)
+                      z3=z3, b9=b9, z5=z5, b25=b25,
+                      zd_src=zd_src, zd_q0=zd_q0)
         )
         if lvl == num_levels - 1:
             break

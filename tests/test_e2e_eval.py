@@ -128,3 +128,44 @@ def test_eval_loss_meter(bench, tmp_path):
     assert np.isfinite(meter.meters["loss"].global_avg)
     assert np.isfinite(meter.meters["loss_bce"].global_avg)
     assert np.isfinite(meter.meters["loss_dice"].global_avg)
+
+
+def test_prerecorded_clicks_translate_from_me_order(tmp_path):
+    """The reference's val lists record clicks as ME-quantized voxel rows
+    (first-occurrence point order, reference InterMultiObj3DSegDataset.py:
+    78-86); our rows are key-sorted, so the loader must translate them."""
+    import json
+
+    import numpy as np
+
+    from agile3d_tpu.data.datasets import InterMultiObjDataset
+    from agile3d_tpu.sparse.quantize import sparse_quantize
+    from tests.synthetic import make_scene, write_benchmark
+
+    scans, vl_path = write_benchmark(str(tmp_path), num_scenes=1, num_obj=3,
+                                     seed=5, n_points=3000)
+    with open(vl_path) as f:
+        val_list = json.load(f)
+    (name, spec), = val_list.items()
+
+    # reconstruct what ME would have recorded: first-occurrence voxel rows
+    # (the loader min-shifts coords per axis, reference :50-53 — match it)
+    rng = np.random.default_rng(5)
+    coords, colors, labels = make_scene(rng, n_points=3000, num_obj=3)
+    coords = coords - coords.min(axis=0, keepdims=True)
+    vox, umap, imap = sparse_quantize(coords, 0.05)
+    fo = np.argsort(umap, kind="stable")    # our row of ME rank r
+    labels_me = labels[umap][fo]            # labels in ME (first-occ) order
+    clicks_me = {
+        str(o): [int(np.flatnonzero(labels_me == o)[0])] for o in (1, 2, 3)
+    }
+    spec["clicks"] = clicks_me
+    with open(vl_path, "w") as f:
+        json.dump(val_list, f)
+
+    ds = InterMultiObjDataset(scans, vl_path, 0.05)
+    sample = ds[0]
+    # translated rows must carry the right labels in OUR order (the loader
+    # raises if not), and differ from the raw ME ranks in general
+    for o, rows in sample.click_idx.items():
+        assert (sample.labels[rows] == int(o)).all()

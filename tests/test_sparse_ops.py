@@ -341,3 +341,48 @@ def test_sparse_conv_strips_matches_scan():
     g1 = np.asarray(jax.grad(loss_strips)(jnp.asarray(w)))
     g2 = np.asarray(jax.grad(loss_scan)(jnp.asarray(w)))
     np.testing.assert_allclose(g1, g2, rtol=2e-4, atol=2e-4)
+
+
+def test_sparse_conv_zdilated_matches_scan():
+    """Zero-select z-dilated window conv == direct gather-GEMM conv for the
+    k5 stem and a k3 map (exact same math; windows are z-complete in the
+    dilated set so cells sit at fixed offsets)."""
+    from agile3d_tpu.ops.sparse_conv import sparse_conv_zdilated
+    from agile3d_tpu.sparse.kernel_maps import (
+        _sorted_index, dilated_window_maps)
+
+    rng = np.random.default_rng(11)
+    vox = _random_scene(rng, n=900, lo=-8, hi=8)
+    pyr = build_pyramid(vox, num_levels=1, stem_kernel=5)
+    lvl = pyr.levels[0]
+    n = len(vox)
+    batch = np.zeros(n, np.int32)
+    ks, order = _sorted_index(lvl.grid, batch)
+
+    for nbr, k, cin, cout in ((lvl.k5, 5, 3, 32), (lvl.k3, 3, 7, 11)):
+        src, q0 = dilated_window_maps(lvl.grid, batch, ks, order, k)
+        feats = rng.standard_normal((n, cin)).astype(np.float32)
+        w = rng.standard_normal((k ** 3, cin, cout)).astype(np.float32) * 0.2
+        ref = np.asarray(sparse_conv(jnp.asarray(feats), jnp.asarray(nbr),
+                                     jnp.asarray(w)))
+        for gs in (None, 1, 4):
+            out = np.asarray(sparse_conv_zdilated(
+                jnp.asarray(feats), jnp.asarray(src), jnp.asarray(q0),
+                jnp.asarray(w), k, group_size=gs))
+            np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+
+    # padded rows keep the zero-pad invariant (pyramid-level padding)
+    from agile3d_tpu.sparse.grid import pad_pyramid
+    pp = pad_pyramid(build_pyramid(vox, stem_kernel=5, dilated_stem=True),
+                     buckets=(1024, 2048))
+    l0 = pp.levels[0]
+    feats = np.zeros((l0.grid.shape[0], 3), np.float32)
+    feats[:n] = rng.standard_normal((n, 3)).astype(np.float32)
+    w = rng.standard_normal((125, 3, 8)).astype(np.float32) * 0.2
+    out = np.asarray(sparse_conv_zdilated(
+        jnp.asarray(feats), jnp.asarray(l0.zd_src), jnp.asarray(l0.zd_q0),
+        jnp.asarray(w), 5))
+    ref = np.asarray(sparse_conv(jnp.asarray(feats), jnp.asarray(l0.k5),
+                                 jnp.asarray(w), unroll=False))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=2e-5)
+    assert (out[n:] == 0).all()
