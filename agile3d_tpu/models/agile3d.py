@@ -83,7 +83,29 @@ def _torch_linear_init(key, fan_in, fan_out):
 def init_agile3d(key, cfg: ModelConfig = ModelConfig()):
     """Returns (params, buffers, bn_state). ``buffers`` are non-trainable
     (the Gaussian fourier matrix — a registered buffer in the reference,
-    position_embedding.py:70-72 — and the click-time table)."""
+    position_embedding.py:70-72 — and the click-time table).
+
+    Runs on the host CPU backend when one exists: the init is ~100 tiny
+    PRNG programs, each a separate compile+dispatch — measured 50 s through
+    the axon TPU relay vs half that on CPU, and checkpoint saves of the
+    CPU-resident result drop 57 -> 4 s. Wrapping the whole init in one jit
+    measured WORSE in this environment (47 s compile; 430 s with the
+    persistent cache enabled) — eager stays. Arrays transfer to the
+    accelerator on first use."""
+    if jax.default_backend() != "cpu":
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            # jax.default_backend() ignores the default_device context, so
+            # re-entering here would recurse — delegate to the body instead.
+            with jax.default_device(cpu):
+                return _init_agile3d_body(key, cfg)
+    return _init_agile3d_body(key, cfg)
+
+
+def _init_agile3d_body(key, cfg: ModelConfig):
     c = cfg.hidden_dim
     keys = iter(jax.random.split(key, 16))
 

@@ -45,6 +45,8 @@ def get_args_parser():
 
 
 def main(args):
+    from agile3d_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     np.random.seed(args.seed)
     random.seed(args.seed)
 

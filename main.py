@@ -110,6 +110,8 @@ def _wandb():
 
 
 def main(args):
+    from agile3d_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     wandb = _wandb()
     wandb.init(project="AGILE3D")
 

@@ -75,6 +75,8 @@ def terminal_loop(server: InteractiveSegmentationServer):
 
 
 def main(args):
+    from agile3d_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     cfg = Config(model=ModelConfig(voxel_size=args.voxel_size))
     loader = InteractiveDataLoader(args.dataset_scenes, args.user_name)
     server = InteractiveSegmentationServer(
