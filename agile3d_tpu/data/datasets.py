@@ -188,7 +188,8 @@ class InterSingleObjDataset:
 
 def collate_scenes(samples: list[SceneSample],
                    buckets=DEFAULT_VOXEL_BUCKETS,
-                   factored: bool = False) -> SceneBatch:
+                   factored: bool = False,
+                   dilated_stem: bool = False) -> SceneBatch:
     """Concatenate samples into a flat batched pyramid + per-sample padded
     views (replaces ME batched_coordinates + ragged lists, reference
     InterMultiObj3DSegDataset.py:126-136).
@@ -199,7 +200,8 @@ def collate_scenes(samples: list[SceneSample],
     counts = [len(s.vox_coords) for s in samples]
     vox = np.vstack([s.vox_coords for s in samples])
     batch_ids = np.repeat(np.arange(len(samples), dtype=np.int32), counts)
-    pyr = pad_pyramid(build_pyramid(vox, batch_ids, factored=factored),
+    pyr = pad_pyramid(build_pyramid(vox, batch_ids, factored=factored,
+                                    dilated_stem=dilated_stem),
                       buckets)
     n0 = pyr.levels[0].grid.shape[0]
 

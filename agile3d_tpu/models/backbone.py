@@ -349,6 +349,12 @@ def backbone_forward(
     # gathers), else factored two-stage when maps exist, else grouped scan
     # over the 125 offsets
     stem_w = params["conv0p1s1"]["w"]
+    if cfg.stem_zdilated and getattr(lv[0], "zd_q0", None) is None:
+        raise ValueError(
+            "BackboneConfig.stem_zdilated=True but the pyramid carries no "
+            "dilated window maps — build it with "
+            "build_pyramid(..., dilated_stem=True) or "
+            "collate_scenes(..., dilated_stem=True)")
     if (cfg.strip_conv and cfg.stem_zdilated
             and getattr(lv[0], "zd_q0", None) is not None
             and _strips_wins(cfg.conv1_kernel_size, cfg.in_channels)):

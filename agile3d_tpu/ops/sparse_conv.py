@@ -103,6 +103,21 @@ def sparse_conv(x: jax.Array, nbr: jax.Array, w: jax.Array,
     return acc
 
 
+
+
+def _packed_default_dtype(x_dtype):
+    """bf16 on TPU matches the conv GEMM's DEFAULT-precision operand
+    rounding exactly; when the user raises the global matmul precision
+    (float32 / highest / tensorfloat32), the GEMMs stop rounding and the
+    packed gathers must stop too."""
+    if jax.default_backend() != "tpu":
+        return x_dtype
+    prec = jax.config.jax_default_matmul_precision
+    if prec not in (None, "default", "bfloat16"):
+        return x_dtype
+    return jnp.bfloat16
+
+
 def sparse_conv_strips(x: jax.Array, nbr: jax.Array, w: jax.Array,
                        k_strip: int,
                        bias: jax.Array | None = None,
@@ -154,8 +169,7 @@ def sparse_conv_strips(x: jax.Array, nbr: jax.Array, w: jax.Array,
     cin, cout = w.shape[1], w.shape[2]
     out_dtype = jnp.promote_types(x.dtype, w.dtype)
     if packed_dtype is None:
-        packed_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
-                        else x.dtype)
+        packed_dtype = _packed_default_dtype(x.dtype)
     if group_size is None:
         env = os.environ.get("AGILE3D_STRIP_GROUP")  # perf-sweep override
         if env:
@@ -263,8 +277,7 @@ def sparse_conv_zdilated(x: jax.Array, src: jax.Array, q0: jax.Array,
     cin, cout = w.shape[1], w.shape[2]
     out_dtype = jnp.promote_types(x.dtype, w.dtype)
     if packed_dtype is None:
-        packed_dtype = (jnp.bfloat16 if jax.default_backend() == "tpu"
-                        else x.dtype)
+        packed_dtype = _packed_default_dtype(x.dtype)
     if group_size is None:
         group_size = 1 if cin * k >= 128 else max(128 // (cin * k), 1)
     gg = min(group_size, n_grp)

@@ -87,6 +87,23 @@ struct IndexMap {
 
 }  // namespace
 
+// Sort provisional ids by packed key (the sorted-row invariant both
+// agile3d_quantize and agile3d_stride_down must emit): order[r] = the
+// provisional id holding sorted rank r; rank[p] = sorted rank of id p.
+static void sort_ranks(const std::vector<int64_t>& prov_key,
+                       std::vector<int32_t>& order,
+                       std::vector<int32_t>& rank) {
+  const int64_t n = (int64_t)prov_key.size();
+  order.resize((size_t)n);
+  rank.resize((size_t)n);
+  for (int64_t i = 0; i < n; ++i) order[i] = (int32_t)i;
+  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    return prov_key[a] < prov_key[b];
+  });
+  for (int64_t r = 0; r < n; ++r) rank[order[r]] = (int32_t)r;
+}
+
+
 extern "C" {
 
 // Quantize float points to voxels with dedup; voxel rows come out SORTED
@@ -124,15 +141,10 @@ int64_t agile3d_quantize(const float* coords, int64_t n, double qsize,
     inverse_map[i] = row;  // provisional id, remapped below
   }
   // Pass 2: sort voxels by key; remap provisional ids to sorted ranks.
-  std::vector<int32_t> order((size_t)n_unique);
-  for (int64_t i = 0; i < n_unique; ++i) order[i] = (int32_t)i;
-  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
-    return prov_key[a] < prov_key[b];
-  });
-  std::vector<int32_t> rank((size_t)n_unique);
+  std::vector<int32_t> order, rank;
+  sort_ranks(prov_key, order, rank);
   for (int64_t r = 0; r < n_unique; ++r) {
     const int32_t p = order[r];
-    rank[p] = (int32_t)r;
     const int64_t src = prov_first[p];
     vox[3 * r + 0] = vx[3 * src + 0];
     vox[3 * r + 1] = vx[3 * src + 1];
@@ -216,15 +228,10 @@ int64_t agile3d_stride_down(const int32_t* grid, const int32_t* batch,
     child_off[i] = ((grid[3 * i] & 1) << 2) | ((grid[3 * i + 1] & 1) << 1) |
                    (grid[3 * i + 2] & 1);
   }
-  std::vector<int32_t> order((size_t)n_coarse);
-  for (int64_t i = 0; i < n_coarse; ++i) order[i] = (int32_t)i;
-  std::sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
-    return prov_key[a] < prov_key[b];
-  });
-  std::vector<int32_t> rank((size_t)n_coarse);
+  std::vector<int32_t> order, rank;
+  sort_ranks(prov_key, order, rank);
   for (int64_t r = 0; r < n_coarse; ++r) {
     const int32_t p = order[r];
-    rank[p] = (int32_t)r;
     const int64_t src = prov_first[p];
     coarse_grid[3 * r + 0] = grid[3 * src] >> 1;
     coarse_grid[3 * r + 1] = grid[3 * src + 1] >> 1;

@@ -92,11 +92,12 @@ def main():
     vox, umap, imap = sparse_quantize(coords, cfg.model.voxel_size)
     print(f"scene: {len(vox)} voxels")
 
-    for order_name in ("lex", "morton"):
-        if order_name == "lex":
-            keys = pack_coords(vox)
-        else:
-            keys = morton_keys(vox)
+    # Morton order was measured here too before build_pyramid grew its
+    # sorted-row guard: spans were 20-300x worse at every level (p50 span
+    # 11k-31k at L0 vs 511 for lex) — z-minor lexicographic order is the
+    # right one and the Morton branch is retired.
+    for order_name in ("lex",):
+        keys = pack_coords(vox)
         perm = np.argsort(keys, kind="stable")
         pyr = build_pyramid(vox[perm])
         print(f"\n=== order: {order_name} ===")
