@@ -102,7 +102,12 @@ def main():
         features=torch.from_numpy(feats[unique_map]))
 
     rec = {"coords": coords, "feats": feats,
-           "vox": x.coordinates[:, 1:].numpy()}
+           "vox": x.coordinates[:, 1:].numpy(),
+           # ME's unique_map: validates the first-occurrence row-order
+           # assumption the pre-recorded-click translation rests on
+           # (agile3d_tpu/data/datasets.py:121-138; check it is sorted
+           # ascending == first occurrence in point order)
+           "unique_map": np.asarray(unique_map)}
 
     stem = {}
 
