@@ -142,6 +142,10 @@ class TrainConfig:
     seed: int = 42
     max_num_clicks: int = 20            # per-object eval click budget
     num_workers: int = 2
+    # host-pipeline prefetch depth (batches assembled ahead of the device
+    # step, data/prefetch.py; 0 = synchronous). The reference's 2-worker
+    # DataLoader analogue (reference main.py:118-123).
+    prefetch: int = 2
 
 
 @dataclasses.dataclass(frozen=True)

@@ -87,8 +87,8 @@ def make_train_step(cfg: Config, tx):
     return train_step
 
 
-def _batch_miou(pred, labels, valid, num_obj, max_obj):
-    """reference utils/seg.py:20-42 mean_iou over the batch."""
+def _per_sample_iou(pred, labels, valid, num_obj, max_obj):
+    """Per-sample foreground mean IoU [B] (reference utils/seg.py:20-42)."""
     ious = []
     for o in range(1, max_obj + 1):
         p = (pred == o) & valid
@@ -98,9 +98,12 @@ def _batch_miou(pred, labels, valid, num_obj, max_obj):
         ious.append(jnp.where(union > 0, inter / jnp.maximum(union, 1), 0.0))
     ious = jnp.stack(ious, -1)                       # [B, max_obj]
     present = jnp.arange(1, max_obj + 1)[None, :] <= num_obj[:, None]
-    per_sample = jnp.sum(jnp.where(present, ious, 0), -1) / jnp.maximum(
-        num_obj, 1)
-    return per_sample.mean()
+    return jnp.sum(jnp.where(present, ious, 0), -1) / jnp.maximum(num_obj, 1)
+
+
+def _batch_miou(pred, labels, valid, num_obj, max_obj):
+    """reference utils/seg.py:20-42 mean_iou over the batch."""
+    return _per_sample_iou(pred, labels, valid, num_obj, max_obj).mean()
 
 
 def subsample_objects(labels_row: np.ndarray, rng: np.random.Generator,
@@ -165,6 +168,24 @@ def rollout_clicks(engine: InteractiveEngine, params, buffers, scene,
     return clicks
 
 
+def prepare_batch(dataset, batch_ids, cfg: Config, seed: int):
+    """Host-side batch assembly (the prefetchable unit): load + quantize the
+    scenes, collate into a padded pyramid, and draw the per-sample object
+    subsets from a seed-local generator (so the result is independent of
+    WHEN it runs — the basis for the prefetcher's determinism contract)."""
+    samples = [dataset[int(j)] for j in batch_ids]
+    batch = collate_scenes(samples, cfg.buckets)
+    b = len(samples)
+    n_valid = [int((batch.sample_idx[i] >= 0).sum()) for i in range(b)]
+    rng = np.random.default_rng(seed)
+    labels_new = batch.labels.copy()
+    num_obj = np.zeros(b, np.int32)
+    for i in range(b):
+        labels_new[i], num_obj[i] = subsample_objects(
+            batch.labels[i], rng, cfg.model.max_fg_objects)
+    return batch, labels_new, num_obj, n_valid
+
+
 def train_one_epoch(engine, params, buffers, bn_state, opt_state, train_step,
                     dataset, cfg: Config, epoch: int, *,
                     np_rng: np.random.Generator, py_rng: pyrandom.Random,
@@ -176,29 +197,33 @@ def train_one_epoch(engine, params, buffers, bn_state, opt_state, train_step,
     dispatch + host simulation per round) with a single on-device lax.scan
     (engine/device_train.py); the resulting click table feeds the supervised
     step without leaving the device.
+
+    Batch assembly (load -> quantize -> pyramid -> collate -> object
+    subsets) runs on a background prefetch thread (data/prefetch.py,
+    depth cfg.train.prefetch) so batch N+1 is built while batch N trains —
+    the reference's 2-worker DataLoader analogue (reference main.py:
+    118-123). Per-batch subsample seeds are pre-drawn from np_rng, so the
+    trajectory is identical at every prefetch depth (tests/test_train.py).
     """
+    from agile3d_tpu.data.prefetch import BatchPrefetcher
+
     logger = MetricLogger(log=log)
     bs = cfg.train.batch_size
     n = len(dataset)
     if order is None:
         order = np_rng.permutation(n)
     batches = [order[i: i + bs] for i in range(0, n, bs)]
+    seeds = np_rng.integers(2 ** 31, size=len(batches))
+    work = [(ids, int(s)) for ids, s in zip(batches, seeds)]
+    fetcher = BatchPrefetcher(
+        lambda w: prepare_batch(dataset, w[0], cfg, w[1]),
+        work, depth=cfg.train.prefetch)
 
-    for batch_ids in logger.log_every(batches, print_freq,
-                                      f"Epoch: [{epoch}]"):
-        samples = [dataset[int(j)] for j in batch_ids]
-        batch = collate_scenes(samples, cfg.buckets)
-        b = len(samples)
-        n_valid = [int((batch.sample_idx[i] >= 0).sum()) for i in range(b)]
+    for batch, labels_new, num_obj, n_valid in logger.log_every(
+            fetcher, print_freq, f"Epoch: [{epoch}]"):
+        b = labels_new.shape[0]
 
-        # 1. object subsets
-        labels_new = batch.labels.copy()
-        num_obj = np.zeros(b, np.int32)
-        for i in range(b):
-            labels_new[i], num_obj[i] = subsample_objects(
-                batch.labels[i], np_rng, cfg.model.max_fg_objects)
-
-        # 2. rollout (backbone in train mode: same normalization the
+        # rollout (backbone in train mode: same normalization the
         # supervised pass will use, reference engine.py:53 + :86)
         scene, _ = engine.run_backbone(params, buffers, bn_state, batch,
                                        training=True)

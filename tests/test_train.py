@@ -73,3 +73,37 @@ def test_train_steps_reduce_loss(tmp_path):
     # params changed
     p1 = jax.tree_util.tree_leaves(params)[0]
     assert not np.allclose(np.asarray(p0), np.asarray(p1))
+
+
+@pytest.mark.slow
+def test_prefetch_depth_does_not_change_trajectory(tmp_path):
+    """The prefetcher's determinism contract: per-batch seeds are pre-drawn,
+    so the training trajectory is bit-identical at every prefetch depth
+    (data/prefetch.py; depth 0 = fully synchronous)."""
+    import dataclasses
+
+    scans, val_list = write_benchmark(str(tmp_path), num_scenes=2, num_obj=2,
+                                      n_points=1200)
+
+    def run(depth):
+        cfg = dataclasses.replace(
+            CFG, train=dataclasses.replace(CFG.train, prefetch=depth))
+        ds = InterMultiObjDataset(scans, val_list, 0.05, augment=False)
+        params, buffers, bn_state = init_agile3d(jax.random.PRNGKey(0),
+                                                 cfg.model)
+        engine = InteractiveEngine(cfg)
+        tx, _ = make_optimizer(cfg, steps_per_epoch=1)
+        opt_state = tx.init(params)
+        step = make_train_step(cfg, tx)
+        params, bn_state, opt_state, stats = train_one_epoch(
+            engine, params, buffers, bn_state, opt_state, step, ds, cfg, 0,
+            np_rng=np.random.default_rng(7), py_rng=random.Random(7),
+            log=lambda *a: None)
+        return params, stats
+
+    p_sync, s_sync = run(0)
+    p_pre, s_pre = run(2)
+    assert s_sync["loss"] == s_pre["loss"]
+    for a, b in zip(jax.tree_util.tree_leaves(p_sync),
+                    jax.tree_util.tree_leaves(p_pre)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
