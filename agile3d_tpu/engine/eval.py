@@ -42,13 +42,28 @@ class InteractiveEngine:
     and the kernels carried Mosaic-fragility cost. See PERF.md.
     """
 
-    def __init__(self, cfg: Config, decoder_impl: str = "xla"):
+    def __init__(self, cfg: Config, decoder_impl: str = "xla", sp: int = 1):
         if decoder_impl not in ("xla", "auto"):
             raise ValueError(
                 f"decoder_impl={decoder_impl!r} is gone: the Pallas decoder "
                 "was deleted in round 2 (see PERF.md); only 'xla' remains")
         self.cfg = cfg
         self.decoder_impl = "xla"
+        # sp > 1: voxel-axis sequence parallelism for the decoder
+        # (parallel/sp.py, SURVEY section 5.7) — scenes whose padded voxel
+        # count exceeds one chip's HBM shard the attention/mask-head over
+        # the mesh's 'sp' axis. Used by the host-rollout eval path
+        # (run_mask); the backbone stays single-chip.
+        self.sp = sp
+        if sp > 1:
+            from agile3d_tpu.parallel import make_mesh
+            from agile3d_tpu.parallel.sp import make_forward_mask_sp
+
+            self._sp_mesh = make_mesh(n_dp=1, n_sp=sp)
+            self._fm_sp, self._shard_scene = make_forward_mask_sp(
+                self._sp_mesh, cfg.model)
+            self._sp_scene_key = None
+            self._sp_scene = None
 
         @functools.partial(jax.jit, static_argnames=("training",))
         def _backbone(params, buffers, bn_state, pyr, feats, raw, sample_idx,
@@ -124,8 +139,16 @@ class InteractiveEngine:
         cs = ClickState(vox=jnp.asarray(clicks.vox[None, :mc]),
                         obj=jnp.asarray(clicks.obj[None, :mc]),
                         time=jnp.asarray(clicks.time[None, :mc]))
-        return self._mask(params, buffers, scene, cs,
-                          jnp.asarray([num_obj], jnp.int32))
+        num_obj_dev = jnp.asarray([num_obj], jnp.int32)
+        if self.sp > 1:
+            if self._sp_scene_key is not scene:
+                self._sp_scene = self._shard_scene(scene)
+                self._sp_scene_key = scene
+            out = self._fm_sp(params, buffers, self._sp_scene, cs,
+                              num_obj_dev)
+            pred = jnp.argmax(out["pred_masks"], axis=-1).astype(jnp.int32)
+            return out, pred
+        return self._mask(params, buffers, scene, cs, num_obj_dev)
 
     def scene_iou(self, pred_vox: np.ndarray, inverse_map: np.ndarray,
                   labels_full: np.ndarray) -> float:

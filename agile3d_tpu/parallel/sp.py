@@ -24,15 +24,24 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from agile3d_tpu.config import ModelConfig
-from agile3d_tpu.models.agile3d import ClickState, SceneFeatures
+from agile3d_tpu.models.agile3d import (
+    ClickState, SceneFeatures, _pick_attn_chunk, _pos_enc)
 from agile3d_tpu.ops.attention import NEG_INF, cross_attention_layer, ffn_layer, self_attention_layer
 from agile3d_tpu.ops.norm import layer_norm
-from agile3d_tpu.ops.pos_enc import fourier_pos
 
 
-def _mha_sharded_keys(params, q_in, k_in, v_in, num_heads, bias_local, axis):
-    """MHA with keys/values sharded over `axis`: distributed softmax."""
+def _mha_sharded_keys(params, q_in, k_in, v_in, num_heads, bias_local, axis,
+                      chunk: int = 0):
+    """MHA with keys/values sharded over `axis`: distributed softmax.
+
+    The per-shard contribution is reduced to (running max m, denominator l,
+    numerator acc) — locally either in one dense pass or, when ``chunk``
+    divides the local key count, by the same online-softmax scan as the
+    single-chip mha_chunked_keys (ops/attention.py), so the [B,H,Q,N_l]
+    logits are never materialized inside a shard either. The cross-shard
+    softmax is then a pmax/psum combine of (m, l, acc)."""
     b, lq, e = q_in.shape
+    lk = k_in.shape[1]
     hd = e // num_heads
 
     def proj(x, w, bias):
@@ -42,22 +51,53 @@ def _mha_sharded_keys(params, q_in, k_in, v_in, num_heads, bias_local, axis):
     k = proj(k_in, params["k_w"], params["k_b"])
     v = proj(v_in, params["v_w"], params["v_b"])
 
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) + bias_local[:, None, :, :]
-    m = jax.lax.pmax(jnp.max(logits, axis=-1), axis)          # [b,h,q]
-    ex = jnp.exp(logits - m[..., None])
-    denom = jax.lax.psum(jnp.sum(ex, axis=-1), axis)          # [b,h,q]
-    num = jax.lax.psum(jnp.einsum("bhqk,bkhd->bqhd", ex, v), axis)
-    out = (num / denom.transpose(0, 2, 1)[..., None]).reshape(b, lq, e)
+    if chunk and lk % chunk == 0 and lk > chunk:
+        nc = lk // chunk
+        k_c = k.reshape(b, nc, chunk, num_heads, hd).transpose(1, 0, 2, 3, 4)
+        v_c = v.reshape(b, nc, chunk, num_heads, hd).transpose(1, 0, 2, 3, 4)
+        bias_c = bias_local.reshape(b, lq, nc, chunk).transpose(2, 0, 1, 3)
+
+        def step(carry, inp):
+            m0, l0, acc0 = carry
+            kc, vc, bc = inp
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, kc) + bc[:, None]
+            m1 = jnp.maximum(m0, jnp.max(logits, axis=-1))
+            scale = jnp.exp(m0 - m1)
+            p = jnp.exp(logits - m1[..., None])
+            l1 = l0 * scale + jnp.sum(p, axis=-1)
+            acc1 = acc0 * scale[..., None] + jnp.einsum(
+                "bhqk,bkhd->bhqd", p, vc)
+            return (m1, l1, acc1), None
+
+        init = (jnp.full((b, num_heads, lq), NEG_INF),
+                jnp.zeros((b, num_heads, lq)),
+                jnp.zeros((b, num_heads, lq, hd)))
+        (m_loc, l_loc, acc_loc), _ = jax.lax.scan(
+            step, init, (k_c, v_c, bias_c))
+    else:
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) + bias_local[:, None]
+        m_loc = jnp.max(logits, axis=-1)                       # [b,h,q]
+        ex = jnp.exp(logits - m_loc[..., None])
+        l_loc = jnp.sum(ex, axis=-1)
+        acc_loc = jnp.einsum("bhqk,bkhd->bhqd", ex, v)
+
+    m = jax.lax.pmax(m_loc, axis)                              # [b,h,q]
+    corr = jnp.exp(m_loc - m)
+    denom = jax.lax.psum(l_loc * corr, axis)
+    num = jax.lax.psum(acc_loc * corr[..., None], axis)
+    out = (num / jnp.maximum(denom, 1e-30)[..., None])
+    out = out.transpose(0, 2, 1, 3).reshape(b, lq, e)
     return out @ params["out_w"] + params["out_b"]
 
 
 def _cross_attn_sharded_keys(layer_params, tgt, memory_local, num_heads, *,
-                             pos_local, query_pos, bias_local, axis):
+                             pos_local, query_pos, bias_local, axis,
+                             chunk: int = 0):
     """Post-norm CrossAttentionLayer with the memory axis sharded."""
     q = tgt + query_pos
     k = memory_local + pos_local
     out = _mha_sharded_keys(layer_params["attn"], q, k, memory_local,
-                            num_heads, bias_local, axis)
+                            num_heads, bias_local, axis, chunk=chunk)
     return layer_norm(tgt + out, layer_params["norm"])
 
 
@@ -95,6 +135,10 @@ def make_forward_mask_sp(mesh: Mesh, cfg: ModelConfig):
     """Returns a jitted forward_mask whose voxel axis is sharded over the
     mesh's 'sp' axis. Inputs use the same SceneFeatures/ClickState as the
     single-chip path; outputs match it numerically (tests/test_parallel.py)."""
+    if any(h != 4 for h in cfg.hlevels):
+        raise NotImplementedError(
+            "hlevels entries must all be 4 (same constraint as the "
+            "single-chip forward_mask, models/agile3d.py:302-307)")
     n_sp = mesh.shape["sp"]
     axis = "sp"
     nbq, heads = cfg.num_bg_queries, cfg.num_heads
@@ -120,8 +164,8 @@ def make_forward_mask_sp(mesh: Mesh, cfg: ModelConfig):
         cfeat = jax.lax.psum(cfeat, axis)
         cxyz = jax.lax.psum(cxyz, axis)
 
-        cpos = fourier_pos(cxyz, buffers["gauss_B"], cmin[:, None, :],
-                           cmax[:, None, :], normalize=cfg.normalize_pos_enc)
+        cpos = _pos_enc(cxyz, buffers, cmin[:, None, :], cmax[:, None, :],
+                        cfg)
         t_safe = jnp.clip(clicks.time, 0, buffers["time_pe"].shape[0] - 1)
         cpos = jnp.where(click_valid[..., None],
                          cpos + buffers["time_pe"][t_safe], 0)
@@ -143,26 +187,36 @@ def make_forward_mask_sp(mesh: Mesh, cfg: ModelConfig):
         src = mask_feat_l
         round_bias = jnp.zeros((b, queries.shape[1], nl))
         preds = []
+        # Same (decoder, hlevel-slot) weight schedule as the single-chip
+        # forward_mask (models/agile3d.py:356-359, reference
+        # agile3d.py:273-276); chunk picked from the PER-SHARD voxel count
+        # so intra-shard logits stay bounded too.
+        n_slots = len(cfg.hlevels)
+        chunk = _pick_attn_chunk(nl, b * queries.shape[1] * nl * heads, cfg)
         for r in range(cfg.num_decoders):
-            dp = params["decoders"][0 if cfg.shared_decoder else r]
-            queries = _cross_attn_sharded_keys(
-                dp["c2s"], queries, src, heads, pos_local=pos_pcd_l,
-                query_pos=query_pos, bias_local=round_bias + vox_key_bias,
-                axis=axis)
-            queries = self_attention_layer(
-                dp["c2c"], queries, heads, query_pos=query_pos,
-                attn_bias=q_key_bias, pre_norm=cfg.pre_norm)
-            queries = ffn_layer(dp["ffn"], queries, pre_norm=cfg.pre_norm)
-            src = cross_attention_layer(
-                dp["s2c"], src, queries, heads, pos=query_pos,
-                query_pos=pos_pcd_l,
-                attn_bias=jnp.broadcast_to(q_key_bias,
-                                           (b, nl, queries.shape[1])),
-                pre_norm=cfg.pre_norm)
-            masks, round_bias = _sp_mask_module(
-                params, queries, src, query_obj, query_valid, col_valid,
-                valid_l, axis)
-            preds.append(masks)
+            d_idx = 0 if cfg.shared_decoder else r
+            for i in range(n_slots):
+                dp = params["decoders"][d_idx * n_slots + i]
+                queries = _cross_attn_sharded_keys(
+                    dp["c2s"], queries, src, heads, pos_local=pos_pcd_l,
+                    query_pos=query_pos,
+                    bias_local=round_bias + vox_key_bias, axis=axis,
+                    chunk=chunk)
+                queries = self_attention_layer(
+                    dp["c2c"], queries, heads, query_pos=query_pos,
+                    attn_bias=q_key_bias, pre_norm=cfg.pre_norm)
+                queries = ffn_layer(dp["ffn"], queries,
+                                    pre_norm=cfg.pre_norm)
+                src = cross_attention_layer(
+                    dp["s2c"], src, queries, heads, pos=query_pos,
+                    query_pos=pos_pcd_l,
+                    attn_bias=jnp.broadcast_to(q_key_bias,
+                                               (b, nl, queries.shape[1])),
+                    pre_norm=cfg.pre_norm, chunk_queries=chunk)
+                masks, round_bias = _sp_mask_module(
+                    params, queries, src, query_obj, query_valid, col_valid,
+                    valid_l, axis)
+                preds.append(masks)
         return jnp.stack(preds)  # [R, B, Nl, 1+K] sharded over Nl
 
     sharded = jax.shard_map(

@@ -41,6 +41,12 @@ def get_args_parser():
                    help="per-round host loop instead of the on-device scan")
     p.add_argument("--device_rollout", action="store_true",
                    help=argparse.SUPPRESS)  # legacy alias of the default
+    # TPU-native addition: voxel-axis sequence parallelism over sp chips
+    # (parallel/sp.py, SURVEY section 5.7) for scenes beyond one chip's
+    # HBM (KITTI-360 scale). Implies the host rollout loop.
+    p.add_argument("--sp", default=1, type=int,
+                   help="shard the decoder's voxel axis over this many "
+                        "devices (1 = single chip)")
     return p
 
 
@@ -63,10 +69,14 @@ def main(args):
     Path(args.output_dir).mkdir(parents=True, exist_ok=True)
     results_file = os.path.join(args.output_dir, "val_results_multi.csv")
 
-    engine = InteractiveEngine(cfg)
+    engine = InteractiveEngine(cfg, sp=args.sp)
+    if args.sp > 1 and not args.host_rollout:
+        print(f"--sp {args.sp}: using the host rollout loop (the on-device "
+              "scan is single-chip)")
     evaluate_dataset(engine, params, buffers, bn_state, dataset, results_file,
                      mode="multi", max_num_clicks=args.max_num_clicks,
-                     seed=args.seed, device_rollout=not args.host_rollout)
+                     seed=args.seed,
+                     device_rollout=not args.host_rollout and args.sp == 1)
 
     evaluator = EvaluatorMO(args.val_list, results_file,
                             [0.5, 0.65, 0.8, 0.85, 0.9])

@@ -183,7 +183,7 @@ def main(args):
                 dataset_train, cfg, epoch, np_rng=np_rng, py_rng=py_rng,
                 device_rollout=args.device_rollout)
         epoch_log = {"train/epoch": epoch, "train/loss_epoch": stats["loss"]}
-        if "mIoU" in stats:  # the dp epoch driver doesn't compute mIoU
+        if "mIoU" in stats:
             epoch_log["train/mIoU_epoch"] = stats["mIoU"]
         wandb.log(epoch_log)
 
