@@ -204,18 +204,27 @@ def init_backbone(key, cfg: BackboneConfig = BackboneConfig()):
 
 def _strips_wins(k: int, cin: int) -> bool:
     """Packed-strip gathers beat per-offset row gathers only when a packed
-    bf16 strip row fits one HBM transaction granule: k*C_in*2 <= ~512 B.
-    Measured (tools/probe_packed_bf16.py, 185k-voxel scene): k5 stem
-    73.9 -> 19.3 ms; 96-ch k3 (576 B rows) regresses 20 -> 36 ms.
+    strip row fits one HBM transaction granule: k*C_in*itemsize <= ~512 B.
+    The itemsize is the RESOLVED packed dtype (ops/sparse_conv.
+    _packed_default_dtype): bf16 under default matmul precision on TPU,
+    but f32 when the user raises the precision or off-TPU — the routing
+    must follow, or it picks strips outside the measured win region
+    (ADVICE r2). Measured (tools/probe_packed_bf16.py, 185k-voxel scene):
+    k5 stem 73.9 -> 19.3 ms; 96-ch k3 (576 B rows) regresses 20 -> 36 ms.
 
     AGILE3D_STRIPS_KS (perf sweeps): kernel sizes allowed to use strips,
     e.g. "5" = stem only, "53" = stem + k3, "" = none."""
     import os
 
+    import jax.numpy as jnp
+
+    from agile3d_tpu.ops.sparse_conv import _packed_default_dtype
+
     ks = os.environ.get("AGILE3D_STRIPS_KS")
     if ks is not None and str(k) not in ks:
         return False
-    return k * cin * 2 <= 512
+    itemsize = jnp.dtype(_packed_default_dtype(jnp.float32)).itemsize
+    return k * cin * itemsize <= 512
 
 
 def _conv3(x, k3, zb, w, strips=False):

@@ -23,15 +23,20 @@ import numpy as np
 _COORD_BITS = 19
 _COORD_OFFSET = 1 << (_COORD_BITS - 1)
 _COORD_MAX = (1 << _COORD_BITS) - 1
+# Guard band at the field edges so adding a small kernel offset (or the
+# dilation key arithmetic's qk + (k-1)) can never carry into the adjacent
+# bit field — MUST match MARGIN in csrc/sparse_index.cpp so the numpy and
+# native paths accept/reject identical inputs.
+_MARGIN = 4
 
 
 def pack_coords(coords: np.ndarray, batch: np.ndarray | None = None) -> np.ndarray:
     """Pack int coords [N,3] (+ optional batch ids [N]) into int64 keys."""
     c = coords.astype(np.int64) + _COORD_OFFSET
-    if c.min() < 0 or c.max() > _COORD_MAX:
+    if c.min() < _MARGIN or c.max() > _COORD_MAX - _MARGIN:
         raise ValueError(
-            f"coordinates out of packable range +-{_COORD_OFFSET}: "
-            f"[{coords.min()}, {coords.max()}]"
+            f"coordinates out of packable range "
+            f"+-{_COORD_OFFSET - _MARGIN}: [{coords.min()}, {coords.max()}]"
         )
     key = (c[:, 0] << (2 * _COORD_BITS)) | (c[:, 1] << _COORD_BITS) | c[:, 2]
     if batch is not None:

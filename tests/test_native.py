@@ -71,6 +71,30 @@ def test_native_out_of_range_raises(lib):
         native_quantize(np.array([[1e9, 0, 0]], np.float32), 0.05)
 
 
+def test_margin_guard_parity(lib):
+    """The numpy pack_coords must reject the same MARGIN guard band at the
+    bit-field edges as csrc/sparse_index.cpp (ADVICE r2): coordinates
+    within MARGIN of the packable edge raise in BOTH paths; the last
+    accepted coordinate is accepted by both."""
+    from agile3d_tpu.sparse.quantize import (
+        _COORD_OFFSET, _MARGIN, pack_coords, sparse_quantize)
+
+    edge = _COORD_OFFSET - _MARGIN          # first rejected magnitude
+    for bad in (edge, -_COORD_OFFSET + _MARGIN - 1):
+        pts = np.array([[bad * 0.05, 0, 0]], np.float32)
+        with pytest.raises(ValueError):
+            sparse_quantize(pts, 0.05)      # native path
+        with pytest.raises(ValueError):
+            _numpy_env(sparse_quantize, pts, 0.05)
+        with pytest.raises(ValueError):
+            pack_coords(np.array([[bad, 0, 0]], np.int64))
+    ok = np.array([[edge - 1, 0, 0]], np.int64)
+    assert pack_coords(ok).shape == (1,)
+    nat = sparse_quantize(ok.astype(np.float32) * 0.05, 0.05)
+    ref = _numpy_env(sparse_quantize, ok.astype(np.float32) * 0.05, 0.05)
+    np.testing.assert_array_equal(nat[0], ref[0])
+
+
 def test_native_speedup(lib):
     import time
 
