@@ -47,6 +47,10 @@ class InteractiveDataLoader:
         pc, faces = read_ply(os.path.join(scene_dir, "scan.ply"),
                              with_faces=True)
         self.point_type = "mesh" if faces is not None and len(faces) else "pointcloud"
+        # triangle indices [F, 3] for surface rendering in the web viewer
+        # (reference gui.py:552-557 renders the mesh via Open3D)
+        self.faces = (np.asarray(faces, np.uint32)
+                      if self.point_type == "mesh" else None)
         self.coords = np.column_stack(
             [pc["x"], pc["y"], pc["z"]]).astype(np.float32)
         if all(k in pc for k in ("R", "G", "B")):

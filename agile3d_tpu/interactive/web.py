@@ -58,6 +58,7 @@ def make_handler(seg_server):
                 with open(_HTML_PATH, "rb") as f:
                     self._send(200, f.read(), "text/html")
             elif self.path == "/scene":
+                faces = s.loader.faces
                 meta = {
                     "name": s.sample.scene_name,
                     "index": s.loader.index,
@@ -66,6 +67,8 @@ def make_handler(seg_server):
                     "n_full": int(len(s.loader.coords)),
                     "has_labels": s.loader.labels_full is not None,
                     "max_obj": s.cfg.model.max_fg_objects,
+                    "mesh": faces is not None,
+                    "n_faces": 0 if faces is None else int(len(faces)),
                 }
                 self._send(200, json.dumps(meta).encode())
             elif self.path == "/points":
@@ -75,6 +78,25 @@ def make_handler(seg_server):
                 body = pts.tobytes() + cols.tobytes()
                 self._send(200, body, "application/octet-stream",
                            [("X-Count", str(len(pts)))])
+            elif self.path == "/mesh":
+                # full-resolution surface: [n f32 xyz][n u8 rgb]
+                # [n u32 voxel-row][f*3 u32 triangle indices]. The client
+                # renders triangles, picks a VERTEX, and maps it to its
+                # voxel row for clicks / per-voxel recoloring (reference
+                # gui.py:552-557 renders the same mesh via Open3D).
+                pts = s.loader.coords.astype(np.float32)
+                cols = (np.clip(s.loader.colors, 0, 1) * 255).astype(
+                    np.uint8)
+                inv = s.sample.inverse_map.astype(np.uint32)
+                faces = s.loader.faces
+                if faces is None:
+                    self._send(404, b"{}")
+                    return
+                body = (pts.tobytes() + cols.tobytes() + inv.tobytes()
+                        + faces.astype(np.uint32).tobytes())
+                self._send(200, body, "application/octet-stream",
+                           [("X-Count", str(len(pts))),
+                            ("X-Faces", str(len(faces)))])
             else:
                 self._send(404, b"{}")
 

@@ -102,3 +102,54 @@ def test_scene_switch(server):
     assert name == "t1" and seg.loader.index == 1
     json.loads(_post(base + "/scene/prev", {})[0])
     assert seg.loader.index == 0
+
+
+def test_mesh_scene(tmp_path):
+    """Mesh scans stream the full-resolution surface (/mesh: vertices +
+    colors + per-vertex voxel rows + triangles) and clicks still operate
+    on voxel rows (reference gui.py:552-557 renders the same mesh)."""
+    rng = np.random.default_rng(3)
+    d = tmp_path / "scene_m0"
+    d.mkdir()
+    coords, colors, labels = make_scene(rng, n_points=1500, num_obj=2)
+    # fabricate triangles over consecutive vertex triples
+    faces = np.arange(1500 - 1500 % 3, dtype=np.uint32).reshape(-1, 3)
+    write_ply(str(d / "scan.ply"), {
+        "x": coords[:, 0], "y": coords[:, 1], "z": coords[:, 2],
+        "R": colors[:, 0], "G": colors[:, 1], "B": colors[:, 2]},
+        faces=faces)
+    write_ply(str(d / "label.ply"), {
+        "x": coords[:, 0], "y": coords[:, 1], "z": coords[:, 2],
+        "label": labels})
+    loader = InteractiveDataLoader(str(tmp_path))
+    assert loader.point_type == "mesh"
+    seg = InteractiveSegmentationServer(loader, weights=None, cfg=CFG)
+
+    from http.server import ThreadingHTTPServer
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(seg))
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        meta = json.loads(_get(base + "/scene")[0])
+        assert meta["mesh"] is True and meta["n_faces"] == len(faces)
+        n = meta["n_full"]
+        body, headers = _get(base + "/mesh")
+        assert int(headers["X-Count"]) == n
+        assert int(headers["X-Faces"]) == len(faces)
+        assert len(body) == n * 12 + n * 3 + n * 4 + len(faces) * 12
+        inv = np.frombuffer(body[n * 15: n * 19], np.uint32)
+        assert inv.max() < meta["n_vox"]
+        got_faces = np.frombuffer(body[n * 19:], np.uint32).reshape(-1, 3)
+        np.testing.assert_array_equal(got_faces, faces)
+        # click through a mesh vertex's voxel row
+        vrow = int(inv[42])
+        body, _ = _post(base + "/click", {
+            "click_idx": {"0": [], "1": [vrow]},
+            "click_time_idx": {"0": [], "1": [0]}})
+        lab = np.frombuffer(body, np.uint8)
+        assert lab.shape == (meta["n_vox"],)
+        assert lab[vrow] == 1
+    finally:
+        httpd.shutdown()
