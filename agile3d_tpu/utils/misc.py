@@ -128,3 +128,43 @@ class MetricLogger:
             end = time.time()
         elapsed = datetime.timedelta(seconds=int(time.time() - start))
         self.log(f"{header} Total time: {elapsed}")
+
+
+def setup_wandb(keys_folder: str = "wandb_keys") -> bool:
+    """Interactive wandb API-key bootstrap (reference utils/misc.py:
+    388-403): cache the key per user under ``wandb_keys/<user>_wandb.key``,
+    prompting once on a TTY. Returns True when a key is available (already
+    in the environment, cached, or just entered); False otherwise — the
+    caller falls back to the no-op logger. Unlike the reference (which
+    ``os.system("export ...")``s into a throwaway subshell), the key is
+    placed in THIS process's environment where wandb.init reads it."""
+    import getpass
+    import os
+    import sys
+
+    if os.environ.get("WANDB_API_KEY"):
+        return True
+    netrc = os.path.expanduser("~/.netrc")
+    try:  # an existing `wandb login` session also counts
+        if os.path.exists(netrc) and "api.wandb.ai" in open(netrc).read():
+            return True
+    except OSError:
+        pass
+    user = getpass.getuser()
+    key_path = os.path.join(keys_folder, f"{user}_wandb.key")
+    if os.path.exists(key_path):
+        with open(key_path) as f:
+            key = f.read().strip()
+    elif sys.stdin.isatty():
+        key = input("[You need to firstly setup and login wandb] Please "
+                    "enter your wandb key (https://wandb.ai/authorize):"
+                    ).strip()
+        if not key:
+            return False
+        os.makedirs(keys_folder, exist_ok=True)
+        with open(key_path, "w") as f:
+            f.write(key)
+    else:
+        return False
+    os.environ["WANDB_API_KEY"] = key
+    return True

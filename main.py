@@ -101,12 +101,18 @@ def build_config(args) -> Config:
 def _wandb():
     try:
         import wandb
-        return wandb
     except ImportError:
-        class _Noop:
-            def init(self, *a, **k): pass
-            def log(self, *a, **k): pass
-        return _Noop()
+        wandb = None
+    if wandb is not None:
+        from agile3d_tpu.utils.misc import setup_wandb
+
+        if setup_wandb():  # reference utils/misc.py:388-403 key bootstrap
+            return wandb
+
+    class _Noop:
+        def init(self, *a, **k): pass
+        def log(self, *a, **k): pass
+    return _Noop()
 
 
 def main(args):

@@ -32,7 +32,25 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=1_200_000)
     ap.add_argument("--extent", type=float, default=22.0)
+    ap.add_argument("--sp", type=int, default=1,
+                    help="also run the voxel-axis sharded decoder "
+                         "(parallel/sp.py) over an sp-wide mesh and check "
+                         "agreement (needs >= sp devices; use the virtual "
+                         "CPU mesh for correctness runs)")
+    ap.add_argument("--skip_backbone", action="store_true",
+                    help="decoder-only (e.g. giant SP correctness runs "
+                         "where the CPU backbone would dominate)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="run on an 8-virtual-device CPU mesh (for --sp "
+                         "correctness runs without a TPU pod)")
     args = ap.parse_args()
+
+    if args.cpu:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8")
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
     import jax.numpy as jnp
@@ -46,7 +64,11 @@ def main():
     from agile3d_tpu.utils.profiling import device_memory_stats
     from tests.synthetic import make_scene
 
-    cfg = Config()
+    from agile3d_tpu.config import DEFAULT_VOXEL_BUCKETS
+
+    # two extra rungs beyond the standard ladder so >= 1.5M-voxel scenes
+    # pad instead of truncating (SP stress territory)
+    cfg = Config(buckets=tuple(DEFAULT_VOXEL_BUCKETS) + (1572864, 2097152))
     rng = np.random.default_rng(0)
     coords, colors, labels = make_scene(rng, n_points=args.points,
                                         num_obj=10, extent=args.extent)
@@ -74,11 +96,43 @@ def main():
     params, buffers, bn_state = init_agile3d(jax.random.PRNGKey(0), cfg.model)
     engine = InteractiveEngine(cfg)
 
-    t0 = time.time()
-    scene, _ = engine.run_backbone(params, buffers, bn_state, batch)
-    jax.block_until_ready(scene.mask_feat)
-    t_bb_cold = time.time() - t0
-    mem_bb = device_memory_stats()
+    if args.skip_backbone:
+        # Fabricate the decoder's SceneFeatures (random mask features +
+        # real positional encodings): the point of --skip_backbone runs is
+        # decoder-scale behavior (e.g. SP correctness at >= 1.5M voxels on
+        # the CPU mesh), where a real CPU backbone pass would dominate.
+        from agile3d_tpu.models.agile3d import SceneFeatures, _pos_enc
+
+        raw_pad = np.zeros((n_pad, 3), np.float32)
+        raw_pad[:n_valid] = coords[umap]
+        valid = np.zeros(n_pad, bool)
+        valid[:n_valid] = True
+        cmin = raw_pad[:n_valid].min(0)
+        cmax = raw_pad[:n_valid].max(0)
+        feat = (np.random.default_rng(1)
+                .standard_normal((n_pad, cfg.model.hidden_dim))
+                .astype(np.float32) * 0.5)
+        feat[n_valid:] = 0
+        pos = np.array(_pos_enc(jnp.asarray(raw_pad), buffers,
+                                jnp.asarray(cmin), jnp.asarray(cmax),
+                                cfg.model))
+        pos[~valid] = 0
+        scene = SceneFeatures(
+            mask_feat=jnp.asarray(feat)[None],
+            pos_pcd=jnp.asarray(pos)[None],
+            vox_valid=jnp.asarray(valid)[None],
+            raw=jnp.asarray(raw_pad)[None],
+            cmin=jnp.asarray(cmin)[None], cmax=jnp.asarray(cmax)[None])
+        print("skip_backbone: fabricated SceneFeatures "
+              f"[1, {n_pad}, {cfg.model.hidden_dim}]", flush=True)
+        t_bb_cold = float("nan")
+        mem_bb = device_memory_stats()
+    else:
+        t0 = time.time()
+        scene, _ = engine.run_backbone(params, buffers, bn_state, batch)
+        jax.block_until_ready(scene.mask_feat)
+        t_bb_cold = time.time() - t0
+        mem_bb = device_memory_stats()
     hbm_note = (f"HBM {mem_bb.get('bytes_in_use', 0)/2**30:.2f} GiB in use "
                 f"/ peak {mem_bb.get('peak_bytes_in_use', 0)/2**30:.2f} GiB"
                 if mem_bb.get('peak_bytes_in_use') else
@@ -87,17 +141,19 @@ def main():
     print(f"backbone compile+first: {t_bb_cold:.1f}s; {hbm_note}",
           flush=True)
 
-    # steady-state backbone: per-call wall clock fenced by a scalar
-    # readback (giant fori_loop programs overflow the axon remote-compile
-    # relay at this bucket size; per-call fencing adds ~2 ms, noise at
-    # this scale)
-    ts = []
-    for _ in range(3):
-        t0 = time.time()
-        sc, _ = engine.run_backbone(params, buffers, bn_state, batch)
-        fence(sc.mask_feat)
-        ts.append((time.time() - t0) * 1e3)
-    print(f"backbone steady: {min(ts):.1f} ms (per-call fenced)", flush=True)
+    if not args.skip_backbone:
+        # steady-state backbone: per-call wall clock fenced by a scalar
+        # readback (giant fori_loop programs overflow the axon
+        # remote-compile relay at this bucket size; per-call fencing adds
+        # ~2 ms, noise at this scale)
+        ts = []
+        for _ in range(3):
+            t0 = time.time()
+            sc, _ = engine.run_backbone(params, buffers, bn_state, batch)
+            fence(sc.mask_feat)
+            ts.append((time.time() - t0) * 1e3)
+        print(f"backbone steady: {min(ts):.1f} ms (per-call fenced)",
+              flush=True)
 
     # per-click decoder at this scale, mid-session click state
     clicks = HostClicks(cfg.model.max_clicks)
@@ -110,25 +166,69 @@ def main():
                     time=jnp.asarray(clicks.time[None, :mc]))
     num_obj_dev = jnp.asarray([10], jnp.int32)
 
-    @jax.jit
-    def fm_once(params, buffers, scene, cs, num_obj):
-        out = forward_mask(params, buffers, scene, cs, num_obj,
-                           cfg=cfg.model)
-        return jnp.argmax(out["pred_masks"], -1)
+    # min over >= 2 INDEPENDENT compiles: the axon compile service
+    # nondeterministically emits 10-80x slower binaries (PERF.md); a
+    # draw-indexed denormal constant gives each draw a fresh cache key.
+    per_draw = []
+    pred_single = None
+    for draw in range(2):
+        eps = 1e-38 + draw * 1e-40
 
-    t0 = time.time()
-    fence(fm_once(params, buffers, scene, cs, num_obj_dev))
-    t_cold = time.time() - t0
-    reps = []
-    for _ in range(8):
+        @jax.jit
+        def fm_once(params, buffers, scene, cs, num_obj):
+            out = forward_mask(params, buffers, scene, cs, num_obj,
+                               cfg=cfg.model)
+            pred = jnp.argmax(out["pred_masks"], -1)
+            return pred, out["pred_masks"][..., :1] * eps
+
         t0 = time.time()
-        fence(fm_once(params, buffers, scene, cs, num_obj_dev))
-        reps.append((time.time() - t0) * 1e3)
-    per_click = float(np.median(reps))
+        pred_d, _ = fm_once(params, buffers, scene, cs, num_obj_dev)
+        fence(pred_d.astype(jnp.float32))
+        t_cold = time.time() - t0
+        reps = []
+        for _ in range(5):
+            t0 = time.time()
+            pred_d, _ = fm_once(params, buffers, scene, cs, num_obj_dev)
+            fence(pred_d.astype(jnp.float32))
+            reps.append((time.time() - t0) * 1e3)
+        per_draw.append(float(np.median(reps)))
+        pred_single = pred_d
+        print(f"  fm draw {draw}: compile {t_cold:.1f}s, "
+              f"median {per_draw[-1]:.1f} ms", flush=True)
+    per_click = min(per_draw)
     mem = device_memory_stats()
     print(f"forward_mask at {n_valid} voxels: {per_click:.1f} ms/click "
-          f"(compile {t_cold:.1f}s); HBM peak "
+          f"(min over {len(per_draw)} compiles); HBM peak "
           f"{mem.get('peak_bytes_in_use', 0)/2**30:.2f} GiB", flush=True)
+
+    if args.sp > 1:
+        from agile3d_tpu.parallel import make_mesh
+        from agile3d_tpu.parallel.sp import make_forward_mask_sp
+
+        mesh = make_mesh(n_dp=1, n_sp=args.sp)
+        fm_sp, shard_scene = make_forward_mask_sp(mesh, cfg.model)
+        sscene = shard_scene(scene)
+        t0 = time.time()
+        out = fm_sp(params, buffers, sscene, cs, num_obj_dev)
+        jax.block_until_ready(out["pred_masks"])
+        t_cold = time.time() - t0
+        reps = []
+        for _ in range(3):
+            t0 = time.time()
+            out = fm_sp(params, buffers, sscene, cs, num_obj_dev)
+            jax.block_until_ready(out["pred_masks"])
+            reps.append((time.time() - t0) * 1e3)
+        pred_sp = jnp.argmax(out["pred_masks"], -1)
+        agree = float(jnp.mean((pred_sp == pred_single)
+                               [:, :n_valid].astype(jnp.float32)))
+        print(f"SP decoder (sp={args.sp}) at {n_valid} voxels: "
+              f"{min(reps):.1f} ms/click (compile {t_cold:.1f}s); "
+              f"argmax agreement vs single-chip {agree:.6f}", flush=True)
+        # sharded-HBM math: the decoder's per-chip residents shrink 1/sp
+        per_chip = n_pad / args.sp * (128 + 128 + 3) * 4 / 2**30
+        print(f"  per-chip decoder residents ~ {per_chip:.2f} GiB "
+              f"(mask_feat+pos+raw over N/{args.sp}); chunked c2s/s2c "
+              f"logits never materialize (parallel/sp.py)", flush=True)
 
     if mem.get("peak_bytes_in_use"):
         hbm_total = mem.get("bytes_limit", 16 * 2**30)
