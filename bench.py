@@ -16,8 +16,9 @@ Timing methodology (see PERF.md "tunnel quirks"):
   is therefore compiled >= 2 INDEPENDENT times (a draw-indexed denormal
   constant baked into the traced graph gives each draw a fresh cache key
   and hence a fresh binary), and the reported number is the MIN over
-  draws. If the first two draws disagree by >30% we keep drawing (up to
-  4) so a double-bad-draw coin flip cannot poison the scoreboard.
+  draws. Drawing continues (up to 4) until two draws agree within 15%
+  of the min, so a double-bad-draw coin flip cannot poison the
+  scoreboard.
 - The repo's persistent compilation cache is enabled, with draw keys
   stable across runs: a second driver run reuses the same binaries and
   reproduces the same number in seconds.
