@@ -275,11 +275,20 @@ def evaluate_dataset(
     """Reference Evaluate() driver: sequential scenes, one CSV, then the
     offline evaluator is run by the caller. device_rollout=True runs the
     click rounds as one on-device lax.scan per scene
-    (engine/device_eval.py) instead of the host loop."""
+    (engine/device_eval.py) instead of the host loop.
+
+    Scene loading + quantization + pyramid building prefetches on a
+    background thread (data/prefetch.py) so scene i+1's host work overlaps
+    scene i's rollout; val datasets draw no RNG during loading, so results
+    are unchanged."""
+    from agile3d_tpu.data.prefetch import BatchPrefetcher
+
     rng = random.Random(seed)
+    fetcher = BatchPrefetcher(
+        lambda i: (i, collate_scenes([dataset[i]], engine.cfg.buckets)),
+        range(len(dataset)), depth=2)
     with open(results_file, "w") as f:
-        for i in range(len(dataset)):
-            batch = collate_scenes([dataset[i]], engine.cfg.buckets)
+        for i, batch in fetcher:
             if device_rollout:
                 from agile3d_tpu.engine.device_eval import (
                     evaluate_scene_device)
@@ -316,22 +325,27 @@ def evaluate_dataset_parallel(
     chips (SURVEY.md section 2 parallelism item b), so each device runs its
     own rollout worker thread. Per-scene RNG seeding (seed + scene index)
     keeps results independent of the device count; CSV rows are written in
-    dataset order."""
+    dataset order. Weights are placed on each device ONCE up front (not
+    re-transferred per model call), and result collection is lock-guarded."""
     import concurrent.futures
+    import threading
 
     devices = devices if devices is not None else jax.devices()
     results: dict[int, list[str]] = {}
+    results_lock = threading.Lock()
 
     def worker(dev, indices):
         with jax.default_device(dev):
             engine = InteractiveEngine(cfg)
+            p, b, s = jax.device_put((params, buffers, bn_state), dev)
             for i in indices:
                 batch = collate_scenes([dataset[i]], cfg.buckets)
                 rows = evaluate_scene(
-                    engine, params, buffers, bn_state, batch, mode=mode,
+                    engine, p, b, s, batch, mode=mode,
                     instance_id=i, rng=random.Random(seed + i),
                     max_num_clicks=max_num_clicks)
-                results[i] = rows
+                with results_lock:
+                    results[i] = rows
                 log(f"[dev {dev.id}] scene {i + 1}/{len(dataset)} done")
 
     shards = [list(range(d, len(dataset), len(devices)))

@@ -47,6 +47,11 @@ def get_args_parser():
     p.add_argument("--sp", default=1, type=int,
                    help="shard the decoder's voxel axis over this many "
                         "devices (1 = single chip)")
+    p.add_argument("--scene_parallel", default=0, type=int,
+                   help="evaluate scenes in parallel across this many "
+                        "devices (embarrassingly parallel; per-scene "
+                        "seeding makes results independent of the device "
+                        "count)")
     return p
 
 
@@ -69,14 +74,25 @@ def main(args):
     Path(args.output_dir).mkdir(parents=True, exist_ok=True)
     results_file = os.path.join(args.output_dir, "val_results_multi.csv")
 
-    engine = InteractiveEngine(cfg, sp=args.sp)
-    if args.sp > 1 and not args.host_rollout:
-        print(f"--sp {args.sp}: using the host rollout loop (the on-device "
-              "scan is single-chip)")
-    evaluate_dataset(engine, params, buffers, bn_state, dataset, results_file,
-                     mode="multi", max_num_clicks=args.max_num_clicks,
-                     seed=args.seed,
-                     device_rollout=not args.host_rollout and args.sp == 1)
+    if args.scene_parallel > 1:
+        import jax
+
+        from agile3d_tpu.engine.eval import evaluate_dataset_parallel
+
+        evaluate_dataset_parallel(
+            cfg, params, buffers, bn_state, dataset, results_file,
+            mode="multi", devices=jax.devices()[: args.scene_parallel],
+            max_num_clicks=args.max_num_clicks, seed=args.seed)
+    else:
+        engine = InteractiveEngine(cfg, sp=args.sp)
+        if args.sp > 1 and not args.host_rollout:
+            print(f"--sp {args.sp}: using the host rollout loop (the "
+                  "on-device scan is single-chip)")
+        evaluate_dataset(engine, params, buffers, bn_state, dataset,
+                         results_file, mode="multi",
+                         max_num_clicks=args.max_num_clicks, seed=args.seed,
+                         device_rollout=not args.host_rollout
+                         and args.sp == 1)
 
     evaluator = EvaluatorMO(args.val_list, results_file,
                             [0.5, 0.65, 0.8, 0.85, 0.9])
