@@ -68,10 +68,14 @@ def banded_prep(nbr: np.ndarray, n_pad: int,
     big = np.int64(1 << 40)
     gmin = np.where(present, cells, big).min(axis=(1, 2))      # [nb]
     gmin = np.where(gmin == big, 0, gmin)
-    w0 = np.clip(gmin, 0, n_pad).astype(np.int32)              # x padded +W
+    # HBM window DMA start must be tile-aligned for Mosaic: round down 32.
+    w0 = np.clip((gmin // 32) * 32, 0, n_pad).astype(np.int32)  # x padded +W
     rel = cells - w0[:, None, None]
     lo = np.where(present, rel, big).min(axis=1)               # [nb, k]
     lo = np.where(lo == big, 0, lo)
+    # Mosaic needs the in-VMEM dynamic slice start sublane-aligned; round
+    # down to a 32-row boundary (costs <=31 rows of the SUB_W slack).
+    lo = (lo // 32) * 32
     lo = np.clip(lo, 0, w - sub_w).astype(np.int32)
     sub_rel = rel - lo[:, None, :]
     ok = bool(np.all(np.where(present, (sub_rel >= 0)
@@ -92,20 +96,30 @@ def make_banded_conv(n: int, k: int, cin: int, cout: int,
 
     nb = n // block_m
     kpad = ((k + 31) // 32) * 32
+    # HBM window DMA slices must be lane-aligned (128): pad cin up.
+    cin_p = ((cin + 127) // 128) * 128
 
-    def kernel(w0_ref, x_hbm, nbr_ref, lo_ref, w_ref, out_ref, xwin, sem):
+    def kernel(w0_ref, x_hbm, nbr_ref, w_ref, out_ref, xwin, sem):
+        # nbr_ref lanes [0, kpad) hold neighbor rows; lanes [kpad, 2*kpad)
+        # hold the per-offset sub-window starts lo[i, j], broadcast down
+        # the block's rows (Mosaic block shapes need the last dim to span
+        # the array, so lo rides in the same block as the neighbors).
+        # w0_ref / the lo lanes hold row counts in units of 32-row tiles:
+        # multiplying by 32 in-kernel lets Mosaic statically prove the
+        # dynamic slice starts are tile-aligned (pl.multiple_of hints do
+        # not survive into the memref_slice/DMA lowering here).
         i = pl.program_id(0)
-        w0 = w0_ref[i]
+        w0 = w0_ref[i] * 32
         dma = pltpu.make_async_copy(
             x_hbm.at[pl.ds(w0, w_win), :], xwin, sem)
         dma.start()
         dma.wait()
 
-        nbrs = nbr_ref[:]                                   # [BM, kpad]
+        nbrs = nbr_ref[:]                                   # [BM, 2*kpad]
         col = jax.lax.broadcasted_iota(jnp.int32, (block_m, sub_w), 1)
         acc = jnp.zeros((block_m, cout), jnp.float32)
         for j in range(k):
-            lo = lo_ref[0, j]
+            lo = nbrs[0, kpad + j] * 32
             rel = nbrs[:, j] - w0 - lo                      # [BM]
             sub = xwin[pl.ds(lo, sub_w), :]                 # [SUB_W, C]
             onehot = (rel[:, None] == col).astype(jnp.bfloat16)
@@ -120,16 +134,14 @@ def make_banded_conv(n: int, k: int, cin: int, cout: int,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),              # x (HBM)
-            pl.BlockSpec((block_m, kpad), lambda i, w0: (i, 0),
-                         memory_space=pltpu.VMEM),          # nbr
-            pl.BlockSpec((1, kpad), lambda i, w0: (i, 0),
-                         memory_space=pltpu.VMEM),          # lo
+            pl.BlockSpec((block_m, 2 * kpad), lambda i, w0: (i, 0),
+                         memory_space=pltpu.VMEM),          # nbr | lo
             pl.BlockSpec(memory_space=pltpu.VMEM),          # weights
         ],
         out_specs=pl.BlockSpec((block_m, cout), lambda i, w0: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((w_win, cin), jnp.bfloat16),
+            pltpu.VMEM((w_win, cin_p), jnp.bfloat16),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
@@ -141,11 +153,15 @@ def make_banded_conv(n: int, k: int, cin: int, cout: int,
         interpret=interpret,
     )
 
-    def conv(x, nbr_pad, lo, w0, wt):
-        # x padded with w_win zero rows so window DMA can never run OOB
+    def conv(x, nbr_aug, w0, wt):
+        # x padded with w_win zero rows so window DMA can never run OOB,
+        # and with zero cols up to the 128-lane tile for aligned DMA.
         xp = jnp.concatenate(
             [x, jnp.zeros((w_win, x.shape[1]), x.dtype)]).astype(jnp.bfloat16)
-        return call(w0, xp, nbr_pad, lo, wt.astype(jnp.bfloat16))
+        xp = jnp.pad(xp, ((0, 0), (0, cin_p - cin)))
+        wp = jnp.pad(wt.astype(jnp.bfloat16), ((0, 0), (0, cin_p - cin),
+                                               (0, 0)))
+        return call(w0, xp, nbr_aug, wp)
 
     return conv
 
@@ -193,19 +209,20 @@ def main():
     kpad = ((nbr.shape[1] + 31) // 32) * 32
     nbr_pad = np.full((n, kpad), -1, np.int32)
     nbr_pad[:, : nbr.shape[1]] = nbr
+    # lane-append per-offset sub-window starts, broadcast down each block
+    nbr_aug = np.hstack([nbr_pad, np.repeat(lo // 32, BLOCK_M, axis=0)])
 
     cin = cout = 96
     x = jnp.asarray(rng.standard_normal((n, cin)).astype(np.float32))
     wt = jnp.asarray(
         rng.standard_normal((27, cin, cout)).astype(np.float32) * 0.05)
-    nbr_d = jnp.asarray(nbr_pad)
-    lo_d = jnp.asarray(lo)
-    w0_d = jnp.asarray(w0)
+    nbr_d = jnp.asarray(nbr_aug)
+    w0_d = jnp.asarray(w0 // 32)   # tile units (32-row), see kernel comment
     k3 = jnp.asarray(nbr)
 
     conv = make_banded_conv(n, 27, cin, cout, interpret=args.interpret)
 
-    a = jax.jit(lambda f: conv(f, nbr_d, lo_d, w0_d, wt))(x)
+    a = jax.jit(lambda f: conv(f, nbr_d, w0_d, wt))(x)
     b = jax.jit(lambda f: sparse_conv(f, k3, wt, unroll=False))(x)
     # reference runs f32 activations through default-precision (bf16-pass)
     # matmuls; the kernel rounds activations to bf16 before the one-hot
@@ -225,7 +242,7 @@ def main():
     probe.timeit("k3 96->96 scan f32     ",
                  lambda f: sparse_conv(f, k3, wt, unroll=False), x)
     probe.timeit("k3 96->96 banded kernel",
-                 lambda f: conv(f, nbr_d, lo_d, w0_d, wt), x)
+                 lambda f: conv(f, nbr_d, w0_d, wt), x)
 
 
 if __name__ == "__main__":
