@@ -54,11 +54,17 @@ SUB_W = 640       # per-offset one-hot band width
 
 def banded_prep(nbr: np.ndarray, n_pad: int,
                 block_m=BLOCK_M, w=W, sub_w=SUB_W):
-    """Host-side window planning. Returns (w0 [nb], lo [nb, Kpad], ok).
+    """Host-side window planning. Returns (w0 [nb], lo [nb, Kpad], sub_ws, ok).
 
     w0[i]   : first input row of block i's DMA window (into the W-padded x)
     lo[i,j] : sub-window start for offset j, relative to w0[i]
-    ok      : every present neighbor lands in [lo, lo+sub_w) of its window
+    sub_ws  : per-offset static band width (the sorted order clusters
+              spans by |dx|,|dy| of the stencil offset: dz-neighbors are
+              rows apart, dx-neighbors a whole xy-plane apart — so a
+              per-offset width beats one uniform SUB_W by ~2x in one-hot
+              matmul FLOPs). Capped at `sub_w`.
+    ok      : every present neighbor lands in [lo, lo+sub_ws[j]) of its
+              window
     """
     n, k = nbr.shape
     assert n % block_m == 0
@@ -74,21 +80,27 @@ def banded_prep(nbr: np.ndarray, n_pad: int,
     lo = np.where(present, rel, big).min(axis=1)               # [nb, k]
     lo = np.where(lo == big, 0, lo)
     # Mosaic needs the in-VMEM dynamic slice start sublane-aligned; round
-    # down to a 32-row boundary (costs <=31 rows of the SUB_W slack).
+    # down to a 32-row boundary (costs <=31 rows of the band slack).
     lo = (lo // 32) * 32
-    lo = np.clip(lo, 0, w - sub_w).astype(np.int32)
+    hi = np.where(present, rel, -1).max(axis=1)                # [nb, k]
+    span = np.where(hi >= 0, hi - lo + 1, 0).max(axis=0)       # [k]
+    sub_ws = np.clip(((span + 31) // 32) * 32, 64, sub_w).astype(int)
+    lo = np.minimum(lo, w - sub_ws[None, :])
+    lo = np.clip(lo, 0, None).astype(np.int32)
     sub_rel = rel - lo[:, None, :]
     ok = bool(np.all(np.where(present, (sub_rel >= 0)
-                              & (sub_rel < sub_w), True)))
+                              & (sub_rel < sub_ws[None, None, :]), True)))
     kpad = ((k + 31) // 32) * 32
     lo_p = np.zeros((nb, kpad), np.int32)
     lo_p[:, :k] = lo
-    return w0, lo_p, ok
+    return w0, lo_p, [int(s) for s in sub_ws], ok
 
 
-def make_banded_conv(n: int, k: int, cin: int, cout: int,
+def make_banded_conv(n: int, k: int, cin: int, cout: int, sub_ws=None,
                      block_m=BLOCK_M, w_win=W, sub_w=SUB_W,
                      interpret=False):
+    if sub_ws is None:
+        sub_ws = [sub_w] * k
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -108,20 +120,35 @@ def make_banded_conv(n: int, k: int, cin: int, cout: int,
         # multiplying by 32 in-kernel lets Mosaic statically prove the
         # dynamic slice starts are tile-aligned (pl.multiple_of hints do
         # not survive into the memref_slice/DMA lowering here).
+        # Window DMAs are double-buffered: block i+1's window is issued
+        # before block i's compute so the fetch rides under the matmuls.
         i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
         w0 = w0_ref[i] * 32
-        dma = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(w0, w_win), :], xwin, sem)
-        dma.start()
-        dma.wait()
+
+        def win_dma(blk, buf):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(w0_ref[blk] * 32, w_win), :],
+                xwin.at[buf], sem.at[buf])
+
+        @pl.when(i == 0)
+        def _():
+            win_dma(0, 0).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            win_dma(i + 1, 1 - slot).start()
+
+        win_dma(i, slot).wait()
 
         nbrs = nbr_ref[:]                                   # [BM, 2*kpad]
-        col = jax.lax.broadcasted_iota(jnp.int32, (block_m, sub_w), 1)
         acc = jnp.zeros((block_m, cout), jnp.float32)
         for j in range(k):
             lo = nbrs[0, kpad + j] * 32
             rel = nbrs[:, j] - w0 - lo                      # [BM]
-            sub = xwin[pl.ds(lo, sub_w), :]                 # [SUB_W, C]
+            sub = xwin[slot, pl.ds(lo, sub_ws[j]), :]       # [sub_ws[j], C]
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (block_m, sub_ws[j]), 1)
             onehot = (rel[:, None] == col).astype(jnp.bfloat16)
             gathered = jnp.dot(onehot, sub,
                                preferred_element_type=jnp.float32)
@@ -141,8 +168,8 @@ def make_banded_conv(n: int, k: int, cin: int, cout: int,
         out_specs=pl.BlockSpec((block_m, cout), lambda i, w0: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((w_win, cin_p), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, w_win, cin_p), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
 
@@ -199,7 +226,9 @@ def main():
     print(f"scene {len(vox)} voxels bucket {n}", flush=True)
 
     nbr = lvl.k3
-    w0, lo, ok = banded_prep(nbr, n)
+    w0, lo, sub_ws, ok = banded_prep(nbr, n)
+    print(f"per-offset band widths: {sub_ws} (sum {sum(sub_ws)} "
+          f"vs uniform {SUB_W * nbr.shape[1]})")
     print(f"banded_prep: blocks {n // BLOCK_M}, W {W}, SUB_W {SUB_W}, "
           f"in-band: {ok}", flush=True)
     if not ok:
@@ -220,7 +249,8 @@ def main():
     w0_d = jnp.asarray(w0 // 32)   # tile units (32-row), see kernel comment
     k3 = jnp.asarray(nbr)
 
-    conv = make_banded_conv(n, 27, cin, cout, interpret=args.interpret)
+    conv = make_banded_conv(n, 27, cin, cout, sub_ws=sub_ws,
+                            interpret=args.interpret)
 
     a = jax.jit(lambda f: conv(f, nbr_d, w0_d, wt))(x)
     b = jax.jit(lambda f: sparse_conv(f, k3, wt, unroll=False))(x)

@@ -40,6 +40,11 @@ def main():
     ap.add_argument("--skip_backbone", action="store_true",
                     help="decoder-only (e.g. giant SP correctness runs "
                          "where the CPU backbone would dominate)")
+    ap.add_argument("--quick", action="store_true",
+                    help="single compile draw + 1 timing rep per program "
+                         "(for CPU-mesh correctness runs where each "
+                         "forward takes minutes; timing loses the "
+                         "min-over-compiles discipline)")
     ap.add_argument("--cpu", action="store_true",
                     help="run on an 8-virtual-device CPU mesh (for --sp "
                          "correctness runs without a TPU pod)")
@@ -169,9 +174,11 @@ def main():
     # min over >= 2 INDEPENDENT compiles: the axon compile service
     # nondeterministically emits 10-80x slower binaries (PERF.md); a
     # draw-indexed denormal constant gives each draw a fresh cache key.
+    n_draws = 1 if args.quick else 2
+    n_reps = 1 if args.quick else 5
     per_draw = []
     pred_single = None
-    for draw in range(2):
+    for draw in range(n_draws):
         eps = 1e-38 + draw * 1e-40
 
         @jax.jit
@@ -186,7 +193,7 @@ def main():
         fence(pred_d.astype(jnp.float32))
         t_cold = time.time() - t0
         reps = []
-        for _ in range(5):
+        for _ in range(n_reps):
             t0 = time.time()
             pred_d, _ = fm_once(params, buffers, scene, cs, num_obj_dev)
             fence(pred_d.astype(jnp.float32))
@@ -213,7 +220,7 @@ def main():
         jax.block_until_ready(out["pred_masks"])
         t_cold = time.time() - t0
         reps = []
-        for _ in range(3):
+        for _ in range(1 if args.quick else 3):
             t0 = time.time()
             out = fm_sp(params, buffers, sscene, cs, num_obj_dev)
             jax.block_until_ready(out["pred_masks"])
