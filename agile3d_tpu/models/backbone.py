@@ -227,19 +227,25 @@ def _strips_wins(k: int, cin: int) -> bool:
     return k * cin * itemsize <= 512
 
 
-def _conv3(x, k3, zb, w, strips=False):
+def _conv3(x, k3, zb, w, strips=False, bnd=None):
     """k3 conv: packed-strip gathers where they win (strips=True and narrow
-    C_in), factored two-stage form when the maps exist (zb tuple), else the
-    direct 27-offset gather-GEMM."""
+    C_in), the banded Mosaic kernel for wide channels when the level carries
+    banded aux (bnd=(blo, bw0) — eval path on TPU, ops/banded_conv.py),
+    factored two-stage form when the maps exist (zb tuple), else the direct
+    27-offset gather-GEMM."""
     if strips and _strips_wins(3, x.shape[1]):
         return sparse_conv_strips(x, k3, w, 3)
+    if bnd is not None:
+        from agile3d_tpu.ops.banded_conv import banded_conv
+
+        return banded_conv(x, k3, bnd[0], bnd[1], w).astype(x.dtype)
     if zb is not None:
         return sparse_conv_factored(x, zb[0], zb[1], w)
     return sparse_conv(x, k3, w)
 
 
 def _residual_block(p, s, x, k3, valid, zb=None, *, training: bool,
-                    momentum: float, strips: bool = False):
+                    momentum: float, strips: bool = False, bnd=None):
     """BasicBlock or Bottleneck, distinguished by the presence of conv3."""
     s_new = {}
 
@@ -251,12 +257,12 @@ def _residual_block(p, s, x, k3, valid, zb=None, *, training: bool,
     if "conv3" in p:  # bottleneck (reference resnet_block.py:117-137)
         out = jax.nn.relu(bn("norm1", linear(x, p["conv1"]["w"])))
         out = jax.nn.relu(bn("norm2", _conv3(out, k3, zb, p["conv2"]["w"],
-                                             strips)))
+                                             strips, bnd)))
         out = bn("norm3", linear(out, p["conv3"]["w"]))
     else:             # basic block (reference resnet_block.py:48-64)
         out = jax.nn.relu(bn("norm1", _conv3(x, k3, zb, p["conv1"]["w"],
-                                             strips)))
-        out = bn("norm2", _conv3(out, k3, zb, p["conv2"]["w"], strips))
+                                             strips, bnd)))
+        out = bn("norm2", _conv3(out, k3, zb, p["conv2"]["w"], strips, bnd))
 
     if "downsample" in p:
         residual = linear(x, p["downsample"]["conv"]["w"])
@@ -269,13 +275,13 @@ def _residual_block(p, s, x, k3, valid, zb=None, *, training: bool,
 
 
 def _stage(p_list, s_list, x, k3, valid, zb=None, *, training, momentum,
-           scan_blocks=False, strips=False):
+           scan_blocks=False, strips=False, bnd=None):
     # per-block rematerialization: the backward pass recomputes each block's
     # activations instead of keeping all 26 blocks' intermediates alive
     # (jax.checkpoint, SURVEY.md TPU design notes on HBM)
     blk = jax.checkpoint(
         functools.partial(_residual_block, training=training,
-                          momentum=momentum, strips=strips))
+                          momentum=momentum, strips=strips, bnd=bnd))
     if not scan_blocks:
         s_new = []
         for bp, bs in zip(p_list, s_list):
@@ -354,6 +360,19 @@ def backbone_forward(
             return (level.z3, level.b9)
         return None
 
+    # banded Mosaic kernel: eval-path only (its VJP would need a custom
+    # rule; training keeps the scan conv), auto-on for TPU, and only for
+    # levels whose host prep produced aux (see ops/banded_conv.py)
+    use_banded = cfg.banded_conv
+    if use_banded is None:
+        use_banded = jax.default_backend() == "tpu"
+    use_banded = use_banded and not training
+
+    def bnd_of(level):
+        if use_banded and getattr(level, "blo", None) is not None:
+            return (level.blo, level.bw0)
+        return None
+
     # stem at stride 1: strip gathers (k^2 column strips vs k^3 row
     # gathers), else factored two-stage when maps exist, else grouped scan
     # over the 125 offsets
@@ -398,7 +417,7 @@ def backbone_forward(
             params[f"block{i+1}"], state[f"block{i+1}"], out,
             lv[i + 1].k3, lv[i + 1].valid, zb_of(lv[i + 1]),
             training=training, momentum=mom, scan_blocks=scan_blocks,
-            strips=cfg.strip_conv)
+            strips=cfg.strip_conv, bnd=bnd_of(lv[i + 1]))
         skips.append(out)
 
     feature_maps = [out]  # stride 16
@@ -415,7 +434,7 @@ def backbone_forward(
             params[f"block{i+1}"], state[f"block{i+1}"], out,
             lv[tgt].k3, lv[tgt].valid, zb_of(lv[tgt]),
             training=training, momentum=mom, scan_blocks=scan_blocks,
-            strips=cfg.strip_conv)
+            strips=cfg.strip_conv, bnd=bnd_of(lv[tgt]))
         feature_maps.append(out)
 
     return feature_maps, ns

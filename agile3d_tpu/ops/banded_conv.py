@@ -1,0 +1,225 @@
+"""Banded windowed-gather k3 conv — a Mosaic (Pallas-TPU) kernel that routes
+sparse-conv gathers through the MXU instead of HBM random access.
+
+Replaces the per-offset gather scan (`ops.sparse_conv.sparse_conv`) for the
+wide (>=96ch) k3 convs, where packed-strip gathers lose (PERF.md round-2
+HBM-granule model) and the scan runs at the platform's random-access floor
+(19.3 ms for one 96->96 k3 conv at 196k voxels). Measured on the same conv:
+**10.5 ms** (tools/probe_banded_kernel.py, min over independent compiles).
+
+Why it works: the sorted-row invariant (voxel rows sorted by packed
+(batch,x,y,z) key) makes every per-offset gather map strictly monotone and
+*banded* — a block of BLOCK_M consecutive output rows reads a narrow window
+of input rows, and the window is narrow per offset cluster: dz-offsets read
+rows ~a z-run away, dx-offsets ~an xy-plane away (tools/probe_banded_spans).
+Mosaic has no arbitrary VMEM row gather, but it has dynamic-start HBM->VMEM
+window DMA and the MXU, so the gather becomes a one-hot band matmul:
+
+  per output block of BLOCK_M rows:
+    1. DMA the block's input window x[w0 : w0+W] into VMEM (dynamic w0,
+       host-precomputed; double-buffered so block i+1's fetch rides under
+       block i's matmuls);
+    2. per kernel offset j: slice a sub_ws[j]-row sub-window at
+       host-precomputed lo[i,j], build onehot[m, r] = (nbr[m,j]-w0-lo == r)
+       on the VPU, gather with a [BLOCK_M, sub_ws[j]] @ [sub_ws[j], C] bf16
+       matmul, and apply offset j's weight; accumulate in f32.
+
+Exactness: the host prep (`banded_prep`) verifies every present neighbor
+lands inside its static sub-window and the union window fits W; scenes that
+violate the band bound get no banded aux (fields stay None) and the
+backbone routes those levels through the scan conv — the jit cache keys on
+the pytree structure, so the fallback costs one extra compile, never a
+wrong result. Absent neighbors (-1) produce an all-zero one-hot row, which
+also zeroes pad-voxel outputs (zero-pad invariant).
+
+Static band widths are per offset (legal: the offset loop is Python-
+unrolled, so each j gets its own slice shape). All dynamic slice starts are
+kept in units of 32-row tiles and multiplied by 32 in-kernel so Mosaic can
+statically prove sublane alignment.
+
+Supersedes the gather half of the reference's MinkowskiConvolution
+(/root/reference/models/res16unet.py:222-295 hot loop); eval-path only —
+training keeps the scan conv (its VJP is XLA-native).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+
+BLOCK_M = 128
+W_WIN = 4096
+# Per-offset-cluster static band widths (multiples of 32). Offsets come
+# from kernel_maps.kernel_offsets(3): z fastest, so j // 9 - 1 = dx.
+# Measured spans (tools/probe_banded_kernel.py, 196k + 98k scenes):
+# dx=0 offsets max 160, dx=+-1 offsets max 555; +31 alignment slack.
+_DX0_W = 224
+_DX1_W = 608
+
+
+def banded_widths(k: int) -> tuple[int, ...]:
+    """Static per-offset band widths for a k^3 kernel (k odd)."""
+    kk = k * k
+    return tuple(_DX0_W if j // kk == (k - 1) // 2 else _DX1_W
+                 for j in range(k ** 3))
+
+
+def banded_prep(nbr: np.ndarray, *, block_m: int = BLOCK_M,
+                w_win: int = W_WIN, sub_ws=None):
+    """Host-side window planning for one padded level.
+
+    Args:
+      nbr: int32 [Np, K] neighbor rows (-1 absent / pad), Np % block_m == 0.
+    Returns:
+      (w0_t [nb] int32, lo_t [nb, Kpad] int32, ok bool) with starts in
+      32-row tile units, or (None, None, False) when the scene violates
+      the static band profile (caller falls back to the scan conv).
+    """
+    n, k = nbr.shape
+    if n % block_m:
+        return None, None, False
+    if sub_ws is None:
+        sub_ws = banded_widths(round(k ** (1 / 3)))
+    sub_ws = np.asarray(sub_ws, np.int32)
+    nb = n // block_m
+    cells = nbr.reshape(nb, block_m, k)          # int32; rows < 2^24
+    present = cells >= 0
+    big = np.int32(1) << 30
+    gmin = np.where(present, cells, big).min(axis=(1, 2))       # [nb]
+    gmin = np.where(gmin == big, 0, gmin)
+    w0 = np.clip((gmin // 32) * 32, 0, n)                       # aligned
+    rel = cells - w0[:, None, None]
+    lo = np.where(present, rel, big).min(axis=1)                # [nb, k]
+    lo = np.where(lo == big, 0, lo)
+    lo = (lo // 32) * 32                                        # aligned
+    lo = np.clip(np.minimum(lo, w_win - sub_ws[None, :]), 0, None)
+    sub_rel = rel - lo[:, None, :]
+    ok = bool(np.all(np.where(present, (sub_rel >= 0)
+                              & (sub_rel < sub_ws[None, None, :]), True)))
+    if not ok:
+        return None, None, False
+    kpad = ((k + 31) // 32) * 32
+    lo_p = np.zeros((nb, kpad), np.int32)
+    lo_p[:, :k] = lo // 32
+    return (w0 // 32).astype(np.int32), lo_p, True
+
+
+@functools.lru_cache(maxsize=None)
+def _make_kernel(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
+                 block_m: int, w_win: int, interpret: bool):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb = n // block_m
+    kpad = ((k + 31) // 32) * 32
+    cin_p = ((cin + 127) // 128) * 128   # lane-aligned HBM window DMA
+
+    def kernel(w0_ref, x_hbm, nbr_ref, w_ref, out_ref, xwin, sem):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        w0 = w0_ref[i] * 32
+
+        def win_dma(blk, buf):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(w0_ref[blk] * 32, w_win), :],
+                xwin.at[buf], sem.at[buf])
+
+        @pl.when(i == 0)
+        def _():
+            win_dma(0, 0).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            win_dma(i + 1, 1 - slot).start()
+
+        win_dma(i, slot).wait()
+
+        nbrs = nbr_ref[:]                                   # [BM, 2*kpad]
+        acc = jnp.zeros((block_m, cout), jnp.float32)
+        for j in range(k):
+            lo = nbrs[0, kpad + j] * 32
+            rel = nbrs[:, j] - w0 - lo                      # [BM]
+            sub = xwin[slot, pl.ds(lo, sub_ws[j]), :]       # [sub_ws[j], C]
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (block_m, sub_ws[j]), 1)
+            onehot = (rel[:, None] == col).astype(jnp.bfloat16)
+            gathered = jnp.dot(onehot, sub,
+                               preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(gathered.astype(jnp.bfloat16), w_ref[j],
+                                preferred_element_type=jnp.float32)
+        out_ref[:] = acc
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),              # x (HBM)
+            pl.BlockSpec((block_m, 2 * kpad), lambda i, w0: (i, 0),
+                         memory_space=pltpu.VMEM),          # nbr | lo lanes
+            pl.BlockSpec(memory_space=pltpu.VMEM),          # weights
+        ],
+        out_specs=pl.BlockSpec((block_m, cout), lambda i, w0: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, w_win, cin_p), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n, cout), jnp.float32),
+        interpret=interpret,
+    )
+
+    def conv(x, aug, w0_t, wt):
+        # x gains w_win zero rows (window DMA can never run OOB) and zero
+        # cols up to the 128-lane tile (aligned DMA slices).
+        xp = jnp.concatenate(
+            [x, jnp.zeros((w_win, x.shape[1]), x.dtype)]).astype(jnp.bfloat16)
+        xp = jnp.pad(xp, ((0, 0), (0, cin_p - cin)))
+        wp = jnp.pad(wt.astype(jnp.bfloat16),
+                     ((0, 0), (0, cin_p - cin), (0, 0)))
+        return call(w0_t, xp, aug, wp)
+
+    return conv
+
+
+def _interpret_mode() -> bool:
+    # CPU tests exercise the kernel through the Pallas interpreter; on TPU
+    # the env override also allows interpreter-mode debugging.
+    if os.environ.get("AGILE3D_BANDED_INTERPRET"):
+        return True
+    import jax
+
+    return jax.default_backend() != "tpu"
+
+
+def banded_conv(x, k3, lo_t, w0_t, w, sub_ws=None):
+    """Banded k3 conv: y[i] = sum_j x[k3[i, j]] @ w[j] (absent -> 0).
+
+    Args:
+      x: [Np, cin] features (any float dtype; computed in bf16/f32-accum).
+      k3: int32 [Np, K] neighbor rows (-1 absent).
+      lo_t, w0_t: banded aux from `banded_prep` (tile units).
+      w: [K, cin, cout] weights.
+    Returns [Np, cout] float32.
+    """
+    import jax.numpy as jnp
+
+    n, cin = x.shape
+    k, _, cout = w.shape
+    if sub_ws is None:
+        sub_ws = banded_widths(round(k ** (1 / 3)))
+    fn = _make_kernel(n, k, cin, cout, tuple(sub_ws), BLOCK_M, W_WIN,
+                      _interpret_mode())
+    kpad = ((k + 31) // 32) * 32
+    k3p = jnp.pad(k3, ((0, 0), (0, kpad - k)), constant_values=-1)
+    aug = jnp.concatenate(
+        [k3p, jnp.repeat(lo_t, BLOCK_M, axis=0)], axis=1)
+    return fn(x, aug, w0_t, w)

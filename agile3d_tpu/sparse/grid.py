@@ -34,6 +34,13 @@ class PaddedLevel(NamedTuple):
     # z-complete dilated stem maps (sparse_conv_zdilated)
     zd_src: np.ndarray | None = None  # int32 [Ndp]
     zd_q0: np.ndarray | None = None   # int32 [Np, k*k]
+    # banded windowed-gather aux (ops/banded_conv.banded_prep); None when
+    # the level is small, unaligned, or violates the static band profile
+    # (the backbone then routes this level's wide k3 convs through the
+    # scan conv — jit keys on the pytree structure, so this is a per-scene
+    # static dispatch, never a wrong result)
+    bw0: np.ndarray | None = None     # int32 [Np/128] window starts /32
+    blo: np.ndarray | None = None     # int32 [Np/128, Kpad] band starts /32
 
 
 class PaddedPyramid(NamedTuple):
@@ -53,6 +60,8 @@ def _pad_rows(a: np.ndarray | None, n: int, fill) -> np.ndarray | None:
 def pad_pyramid(
     pyr: Pyramid, buckets: Sequence[int] = DEFAULT_VOXEL_BUCKETS
 ) -> PaddedPyramid:
+    from agile3d_tpu.ops.banded_conv import banded_prep
+
     sizes = [bucket_size(l.num_voxels, buckets) for l in pyr.levels]
     out = []
     for i, lvl in enumerate(pyr.levels):
@@ -89,6 +98,12 @@ def pad_pyramid(
                 zd_q0=_pad_rows(getattr(lvl, "zd_q0", None), n, -1),
             )
         )
+        # banded k3 aux for the two finest levels (where the wide-conv
+        # gathers dominate the backbone; deeper levels are scan-cheap)
+        if i < 2 and n >= 32768:
+            bw0, blo, ok = banded_prep(out[-1].k3)
+            if ok:
+                out[-1] = out[-1]._replace(bw0=bw0, blo=blo)
     return PaddedPyramid(levels=tuple(out))
 
 

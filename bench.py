@@ -19,9 +19,11 @@ Timing methodology (see PERF.md "tunnel quirks"):
   draws. Drawing continues (up to 4) until two draws agree within 15%
   of the min, so a double-bad-draw coin flip cannot poison the
   scoreboard.
-- The repo's persistent compilation cache is enabled, with draw keys
-  stable across runs: a second driver run reuses the same binaries and
-  reproduces the same number in seconds.
+- Draw cache keys are unique per run: the persistent compilation cache
+  (enabled for the untimed setup programs) must never replay a previous
+  run's binaries into the timed draws, because a bad-binary draw recorded
+  once would then repeat forever and min-over-draws could not recover.
+  Reproducibility comes from draw agreement, not from cache hits.
 
 Also reports (to stderr) backbone latency for context.
 """
@@ -33,12 +35,22 @@ import time
 
 import numpy as np
 
-MAX_DRAWS = 4
+MAX_DRAWS = 5
 AGREE_RATIO = 1.15  # stop once >=2 draws sit within 15% of the min
-# Shifts every draw's cache key: set AGILE3D_BENCH_SALT=1,2,... to force
-# fresh compiles when the cached binaries are suspected bad draws,
-# without wiping the rest of the compilation cache.
-SALT = int(os.environ.get("AGILE3D_BENCH_SALT", "0"))
+# Shifts every draw's cache key. Default: unique per RUN (time-based), so
+# every timed draw is a genuinely fresh compile. A stable salt (e.g. git
+# HEAD) was tried and is a trap: the persistent compilation cache then
+# replays whatever binaries the FIRST run at that salt happened to draw —
+# measured here serving a 3052 ms backbone (bad draw recorded under a
+# degraded process) for every subsequent bench at the same commit, which
+# defeats min-over-draws entirely (all "draws" hit the same bad cache
+# entries). Fresh compiles cost wall-clock (~1-4 min/program) but the
+# scoreboard number they produce is a property of the code, not of cache
+# history. Set AGILE3D_BENCH_SALT to pin a salt when reproducing a
+# specific draw is the point. Kept < 9973 so every (salt, draw) maps to a
+# distinct float32 eps constant (spacing 1e-40 > the f32 ulp at 1.6e-35).
+SALT = int(os.environ.get("AGILE3D_BENCH_SALT",
+                          str(int(time.time()) % 9973)))
 
 
 def fence(x):
@@ -124,28 +136,29 @@ def main():
 
     pyr, feats_dev, raw_dev, si_dev = engine.device_batch(batch)
 
-    BB_ITERS = 5
-
     def make_backbone_timed(draw):
         # Draw-indexed denormal constant: changes the traced HLO so each
         # draw gets its own cache key => its own independent compile.
+        # Timed per call with a fence rather than an in-graph fori_loop:
+        # the Mosaic banded-conv kernels run ~5x slower inside a while
+        # loop (and giant loop programs also overflow the axon remote-
+        # compile relay — stress_kitti precedent); the fence costs ~2 ms,
+        # noise at backbone scale.
         eps = 1e-38 + (draw + 16 * SALT) * 1e-40
 
         @jax.jit
-        def backbone_loop(params, buffers, bn_state, feats, raw, si):
-            def body(_, f):
-                scene, _ = forward_backbone(params, buffers, bn_state, pyr,
-                                            f, raw, si, training=False,
-                                            cfg=cfg.model)
-                return f + scene.mask_feat[0, : f.shape[0], :3] * eps
-
-            return jax.lax.fori_loop(0, BB_ITERS, body, feats)
+        def backbone_once(params, buffers, bn_state, feats, raw, si):
+            scene, _ = forward_backbone(params, buffers, bn_state, pyr,
+                                        feats, raw, si, training=False,
+                                        cfg=cfg.model)
+            # full reduction: no element of the forward is dead code
+            return jnp.sum(scene.mask_feat.astype(jnp.float32)) * eps
 
         def timed():
             t0 = time.time()
-            fence(backbone_loop(params, buffers, bn_state, feats_dev,
+            fence(backbone_once(params, buffers, bn_state, feats_dev,
                                 raw_dev, si_dev))
-            return 1000 * (time.time() - t0) / BB_ITERS
+            return 1000 * (time.time() - t0)
 
         return timed
 
