@@ -21,6 +21,13 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
         return None
     import jax
 
+    # TPU backends only: XLA:CPU caches AOT results keyed WITHOUT the host
+    # machine's CPU features, so a cache written on one x86 host replays
+    # executables with unsupported instructions on another (loud
+    # cpu_aot_loader warnings, potential SIGILL). CPU compiles are cheap;
+    # the cache exists for the minutes-long TPU backbone compiles.
+    if jax.default_backend() == "cpu":
+        return None
     if cache_dir is None:
         cache_dir = os.environ.get("AGILE3D_CACHE_DIR") or os.path.join(
             os.path.dirname(os.path.dirname(os.path.dirname(

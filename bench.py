@@ -5,20 +5,29 @@ with cached backbone features on one TPU chip. Prints ONE JSON line
 {"metric", "value", "unit", "vs_baseline"} where vs_baseline = 50 / p50_ms
 (>1 means faster than the target).
 
-Timing methodology (see PERF.md "tunnel quirks"):
+Timing methodology (PERF.md round 3 "dispatch-overhead model"):
 
 - On the axon tunnel, ``block_until_ready`` returns at dispatch, so each
   timing loop runs INSIDE one jitted program (``fori_loop`` with a
   denormal-scale data dependency between iterations) and the run is fenced
   with a single scalar readback — the loop cannot overlap or skip work.
+- Every fenced dispatch additionally pays a per-dispatch overhead B that
+  scales with EXECUTABLE size (measured: ~2.7 s for the backbone program,
+  ~0.17 s for the decoder program — tools/probe_banded_integration.py).
+  The per-iteration cost obeys t(N) = T + B/N to ~1% over N in
+  {1, 4, 16, 48}; T is the true steady-state per-iteration time (what
+  locally attached hardware pays once the executable is resident). The
+  bench therefore times ONE executable at two loop lengths — the trip
+  count is a TRACED argument, so both lengths run the SAME binary and
+  compile nondeterminism cannot poison the subtraction — and reports
+  T = (N2*t2 - N1*t1) / (N2 - N1).
 - The axon remote compile service NONDETERMINISTICALLY emits 10-80x slower
   binaries for identical programs (PERF.md, round 2). Every timed program
   is therefore compiled >= 2 INDEPENDENT times (a draw-indexed denormal
   constant baked into the traced graph gives each draw a fresh cache key
   and hence a fresh binary), and the reported number is the MIN over
-  draws. Drawing continues (up to 4) until two draws agree within 15%
-  of the min, so a double-bad-draw coin flip cannot poison the
-  scoreboard.
+  draws. Drawing continues (up to 5) until two draws agree within 15%
+  of the min, so a double-bad-draw coin flip cannot poison the scoreboard.
 - Draw cache keys are unique per run: the persistent compilation cache
   (enabled for the untimed setup programs) must never replay a previous
   run's binaries into the timed draws, because a bad-binary draw recorded
@@ -61,26 +70,47 @@ def fence(x):
     return float(leaf.reshape(-1)[0].astype("float32"))
 
 
-def min_over_draws(make_timed, label):
-    """Compile-and-time independent draws of a program; return min ms.
+def min_over_draws(make_loop, label, n1, n2, stats=None):
+    """Min over independent compiles of the dispatch-extrapolated T.
 
-    ``make_timed(draw)`` must return a zero-arg callable that runs the
-    (freshly traced, draw-keyed) timing loop once and returns per-call ms.
-    The first call of each draw pays compile; steady-state is measured on
-    subsequent calls.
+    ``make_loop(draw)`` returns ``(loop_fn, args)`` where
+    ``loop_fn(*args, n)`` runs the timing loop with TRACED trip count n —
+    one executable serves both lengths, so the t(N) = T + B/N subtraction
+    compares the same binary against itself and compile nondeterminism
+    cannot poison it. Per draw: 3 fenced reps at each length, medians
+    FIRST (a single stalled dispatch cannot flip the subtraction's sign),
+    then one T = (n2*t2 - n1*t1)/(n2 - n1) per draw, clamped to
+    (0, t2] — t2 is a conservative upper bound that still amortizes the
+    per-dispatch overhead B by 1/n2. Draws continue until two agree
+    within AGREE_RATIO of the min (compile nondeterminism guard).
     """
+    import jax.numpy as jnp
+
+    n1_dev = jnp.asarray(n1, jnp.int32)
+    n2_dev = jnp.asarray(n2, jnp.int32)
     per_draw = []
     draw = 0
     while True:
-        timed = make_timed(draw)
+        loop_fn, args = make_loop(draw)
         t0 = time.time()
-        timed()  # compile + first
+        fence(loop_fn(*args, n1_dev))  # compile + first
         compile_s = time.time() - t0
-        reps = [timed() for _ in range(3)]
-        steady = float(np.median(reps))
+
+        def run(n_dev, n):
+            t0 = time.time()
+            fence(loop_fn(*args, n_dev))
+            return 1000 * (time.time() - t0) / n
+
+        pairs = [(run(n1_dev, n1), run(n2_dev, n2)) for _ in range(3)]
+        t1 = float(np.median([p[0] for p in pairs]))
+        t2 = float(np.median([p[1] for p in pairs]))
+        t_fit = (n2 * t2 - n1 * t1) / (n2 - n1)
+        steady = t2 if (t1 <= t2 or t_fit <= 0) else t_fit
+        if stats is not None and t1 > t2:
+            stats["B_ms"] = (t1 - t2) / (1.0 / n1 - 1.0 / n2)
         per_draw.append(steady)
         print(f"{label} draw {draw}: compile+first {compile_s:.1f}s, "
-              f"steady {steady:.2f} ms (reps {[f'{r:.2f}' for r in reps]})",
+              f"t({n1}) {t1:.2f} t({n2}) {t2:.2f} -> T {steady:.2f} ms",
               file=sys.stderr)
         draw += 1
         if draw >= MAX_DRAWS:
@@ -136,33 +166,33 @@ def main():
 
     pyr, feats_dev, raw_dev, si_dev = engine.device_batch(batch)
 
-    def make_backbone_timed(draw):
+    bb_stats = {}
+
+    def make_backbone_loop(draw):
         # Draw-indexed denormal constant: changes the traced HLO so each
         # draw gets its own cache key => its own independent compile.
-        # Timed per call with a fence rather than an in-graph fori_loop:
-        # the Mosaic banded-conv kernels run ~5x slower inside a while
-        # loop (and giant loop programs also overflow the axon remote-
-        # compile relay — stress_kitti precedent); the fence costs ~2 ms,
-        # noise at backbone scale.
         eps = 1e-38 + (draw + 16 * SALT) * 1e-40
 
         @jax.jit
-        def backbone_once(params, buffers, bn_state, feats, raw, si):
-            scene, _ = forward_backbone(params, buffers, bn_state, pyr,
-                                        feats, raw, si, training=False,
-                                        cfg=cfg.model)
-            # full reduction: no element of the forward is dead code
-            return jnp.sum(scene.mask_feat.astype(jnp.float32)) * eps
+        def loop(params, buffers, bn_state, pyr, feats, raw, si, n):
+            def body(_, f):
+                scene, _ = forward_backbone(params, buffers, bn_state, pyr,
+                                            f, raw, si, training=False,
+                                            cfg=cfg.model)
+                # full reduction: no element of the forward is dead code
+                s = jnp.sum(scene.mask_feat.astype(jnp.float32))
+                return f * (1.0 + s * eps)
 
-        def timed():
-            t0 = time.time()
-            fence(backbone_once(params, buffers, bn_state, feats_dev,
-                                raw_dev, si_dev))
-            return 1000 * (time.time() - t0)
+            f = jax.lax.fori_loop(0, n, body, feats)
+            return jnp.sum(f) * eps
 
-        return timed
+        return loop, (params, buffers, bn_state, pyr, feats_dev, raw_dev,
+                      si_dev)
 
-    bb_ms = min_over_draws(make_backbone_timed, "backbone")
+    bb_ms = min_over_draws(make_backbone_loop, "backbone", 4, 32, bb_stats)
+    print(f"backbone per-dispatch overhead (tunnel artifact, extrapolated "
+          f"out): ~{bb_stats.get('B_ms', float('nan')):.0f} ms",
+          file=sys.stderr)
     scene, _ = engine._backbone(params, buffers, bn_state, pyr, feats_dev,
                                 raw_dev, si_dev, training=False)
 
@@ -182,13 +212,13 @@ def main():
     mc = engine._click_bucket(clicks.count)
     cs_b = ClickState(vox=cs.vox[:, :mc], obj=cs.obj[:, :mc],
                       time=cs.time[:, :mc])
-    FM_ITERS = 20
+    fm_stats = {}
 
-    def make_mask_timed(draw):
+    def make_mask_loop(draw):
         eps = 1e-38 + (draw + 16 * SALT) * 1e-40
 
         @jax.jit
-        def loop(params, buffers, scene, cs, num_obj):
+        def loop(params, buffers, scene, cs, num_obj, n):
             def body(_, feat):
                 sc = scene._replace(mask_feat=feat)
                 out = forward_mask(params, buffers, sc, cs, num_obj,
@@ -196,19 +226,15 @@ def main():
                 pred = jnp.argmax(out["pred_masks"], -1)
                 return feat + pred[..., :1].astype(jnp.float32) * eps
 
-            return jax.lax.fori_loop(0, FM_ITERS, body, scene.mask_feat)
+            return jax.lax.fori_loop(0, n, body, scene.mask_feat)
 
-        def timed():
-            t0 = time.time()
-            fence(loop(params, buffers, scene, cs_b, num_obj_dev))
-            return 1000 * (time.time() - t0) / FM_ITERS
+        return loop, (params, buffers, scene, cs_b, num_obj_dev)
 
-        return timed
-
-    p50 = min_over_draws(make_mask_timed, "forward_mask")
-    print(f"forward_mask per-call (in-graph x{FM_ITERS}, min over "
-          f"independent compiles): {p50:.2f} ms; backbone {bb_ms:.1f} ms",
-          file=sys.stderr)
+    p50 = min_over_draws(make_mask_loop, "forward_mask", 20, 160, fm_stats)
+    print(f"forward_mask per-call (same-binary two-length extrapolation, "
+          f"min over independent compiles): {p50:.2f} ms; backbone "
+          f"{bb_ms:.1f} ms; forward_mask per-dispatch overhead "
+          f"~{fm_stats.get('B_ms', float('nan')):.0f} ms", file=sys.stderr)
 
     print(json.dumps({
         "metric": "per_click_forward_mask_p50_latency",
