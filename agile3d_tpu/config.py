@@ -63,11 +63,13 @@ class BackboneConfig:
     # Banded windowed-gather Mosaic kernel (ops/banded_conv.py) for the
     # wide (>=96ch) k3 convs where strips lose and the scan conv runs at
     # the HBM random-access floor: one-hot band matmuls gather through the
-    # MXU (19.3 -> 10.5 ms on the 196k-voxel 96->96 conv, PERF.md r3).
-    # None = auto: ON for the TPU eval path (training keeps the scan conv
-    # whose VJP is XLA-native), OFF on CPU (interpreter-only). Scenes whose
-    # band spans exceed the static profile fall back to the scan conv per
-    # level (banded aux fields stay None — see ops/banded_conv.banded_prep).
+    # MXU (backbone 186 -> 139 ms on the 185k-voxel bench scene, PERF.md
+    # r3). Differentiable (custom VJP: dX via the stencil-transpose
+    # identity, dW via an accumulating kernel), so it serves training and
+    # eval alike. None = auto: ON for TPU, OFF on CPU (interpreter-only).
+    # Scenes whose band spans exceed the static profile fall back to the
+    # scan conv per level (banded aux fields stay None — see
+    # ops/banded_conv.banded_prep).
     banded_conv: bool | None = None
 
     @property

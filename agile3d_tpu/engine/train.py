@@ -63,7 +63,8 @@ def make_train_step(cfg: Config, tx):
                 p, buffers, bn_state, pyr, feats, raw, sample_idx,
                 training=True, cfg=cfg.model)
             out = forward_mask(p, buffers, scene, clicks, num_obj,
-                               cfg=cfg.model, train_rng=dropout_rng)
+                               cfg=cfg.model, train_rng=dropout_rng,
+                               scan_rounds=True)
             target = jnp.maximum(labels, 0)
             vox_valid = scene.vox_valid & (labels >= 0)
             weights = click_loss_weights(

@@ -279,6 +279,7 @@ def forward_mask(
     *,
     cfg: ModelConfig = ModelConfig(),
     train_rng=None,
+    scan_rounds: bool = False,
 ):
     """One decoder pass over all click rounds' queries (reference
     agile3d.py:183-339). Returns dict with:
@@ -349,41 +350,83 @@ def forward_mask(
         # the scanned paths skip attention-probability dropout; training
         # with dropout must keep the dense attention for exact semantics
         chunk = 0
-    preds = []
     n_slots = len(cfg.hlevels)
     rngs = (jax.random.split(train_rng, cfg.num_decoders * n_slots * 4)
             if train_rng is not None and cfg.dropout > 0 else None)
-    for r in range(cfg.num_decoders):
-        d_idx = 0 if cfg.shared_decoder else r
-        for i in range(n_slots):
-            dp = params["decoders"][d_idx * n_slots + i]
-            rr = ((r * n_slots + i) * 4) if rngs is not None else None
-            rk = lambda j: rngs[rr + j] if rngs is not None else None
-            queries = cross_attention_layer(
-                dp["c2s"], queries, src, heads, pos=scene.pos_pcd,
-                query_pos=query_pos, attn_bias=round_bias + vox_key_bias,
-                pre_norm=cfg.pre_norm, chunk_keys=chunk,
-                dropout_rate=drop, rng=rk(0))
-            queries = self_attention_layer(
-                dp["c2c"], queries, heads, query_pos=query_pos,
-                attn_bias=q_key_bias, pre_norm=cfg.pre_norm,
-                dropout_rate=drop, rng=rk(1))
-            queries = ffn_layer(dp["ffn"], queries, pre_norm=cfg.pre_norm,
-                                dropout_rate=drop, rng=rk(2))
-            src = cross_attention_layer(
-                dp["s2c"], src, queries, heads, pos=query_pos,
-                query_pos=scene.pos_pcd,
-                attn_bias=jnp.broadcast_to(q_key_bias,
-                                           (b, n, queries.shape[1])),
-                pre_norm=cfg.pre_norm, chunk_queries=chunk,
-                dropout_rate=drop, rng=rk(3))
-            masks, round_bias = _mask_module(
-                params, queries, src, query_obj, query_valid, col_valid,
-                scene.vox_valid)
+    # per-round rematerialization: the backward pass recomputes each
+    # round's attention/FFN intermediates ([B, N, C]-scale, several per
+    # round) instead of keeping all rounds' alive — same policy as the
+    # backbone's per-block remat. Inert in eval. (Without it the canonical
+    # 524k-voxel train batch measured 20 G HBM vs the 15.75 G budget.)
+    def round_body(dp, rng4, queries, src, round_bias):
+        rk = ((lambda j: rng4[j]) if rng4 is not None
+              else (lambda j: None))
+        queries = cross_attention_layer(
+            dp["c2s"], queries, src, heads, pos=scene.pos_pcd,
+            query_pos=query_pos,
+            attn_bias=round_bias + vox_key_bias,
+            pre_norm=cfg.pre_norm, chunk_keys=chunk,
+            dropout_rate=drop, rng=rk(0))
+        queries = self_attention_layer(
+            dp["c2c"], queries, heads, query_pos=query_pos,
+            attn_bias=q_key_bias, pre_norm=cfg.pre_norm,
+            dropout_rate=drop, rng=rk(1))
+        queries = ffn_layer(dp["ffn"], queries, pre_norm=cfg.pre_norm,
+                            dropout_rate=drop, rng=rk(2))
+        src = cross_attention_layer(
+            dp["s2c"], src, queries, heads, pos=query_pos,
+            query_pos=scene.pos_pcd,
+            attn_bias=jnp.broadcast_to(q_key_bias,
+                                       (b, n, queries.shape[1])),
+            pre_norm=cfg.pre_norm, chunk_queries=chunk,
+            dropout_rate=drop, rng=rk(3))
+        masks, round_bias = _mask_module(
+            params, queries, src, query_obj, query_valid, col_valid,
+            scene.vox_valid)
+        return queries, src, round_bias, masks
+
+    round_params = [params["decoders"][(0 if cfg.shared_decoder else r)
+                                       * n_slots + i]
+                    for r in range(cfg.num_decoders)
+                    for i in range(n_slots)]
+    n_rounds = len(round_params)
+
+    if scan_rounds:
+        # training form: the refinement rounds run as ONE lax.scan over
+        # stacked per-round weights (identical shapes per round) — the
+        # traced program carries one round body instead of
+        # num_decoders * n_slots copies, so the train step's HLO stays
+        # small enough for the axon compile relay and compiles faster.
+        # NOT used for eval: the scan's carried [B, N, C] src copies cost
+        # ~2 ms/click on the bench scene (10.0 vs 8.2 ms measured).
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                         *round_params)
+        rngs_stacked = (rngs.reshape(n_rounds, 4, *rngs.shape[1:])
+                        if rngs is not None else None)
+
+        def scan_body(carry, xs):
+            queries, src, round_bias = carry
+            dp = xs[0]
+            rng4 = xs[1] if rngs is not None else None
+            queries, src, round_bias, masks = jax.checkpoint(round_body)(
+                dp, rng4, queries, src, round_bias)
+            return (queries, src, round_bias), masks
+
+        xs = (stacked, rngs_stacked) if rngs is not None else (stacked,)
+        (_, _, _), all_masks = jax.lax.scan(
+            scan_body, (queries, src, round_bias), xs)
+    else:
+        preds = []
+        for r in range(n_rounds):
+            rng4 = (rngs.reshape(n_rounds, 4, *rngs.shape[1:])[r]
+                    if rngs is not None else None)
+            queries, src, round_bias, masks = jax.checkpoint(round_body)(
+                round_params[r], rng4, queries, src, round_bias)
             preds.append(masks)
+        all_masks = jnp.stack(preds)
 
     return {
-        "pred_masks": preds[-1],
-        "aux_masks": jnp.stack(preds[:-1]) if len(preds) > 1 else None,
-        "all_masks": jnp.stack(preds),
+        "pred_masks": all_masks[-1],
+        "aux_masks": all_masks[:-1] if n_rounds > 1 else None,
+        "all_masks": all_masks,
     }

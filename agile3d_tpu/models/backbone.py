@@ -360,18 +360,29 @@ def backbone_forward(
             return (level.z3, level.b9)
         return None
 
-    # banded Mosaic kernel: eval-path only (its VJP would need a custom
-    # rule; training keeps the scan conv), auto-on for TPU, and only for
-    # levels whose host prep produced aux (see ops/banded_conv.py)
+    # banded Mosaic kernel: auto-on for TPU (training too — the kernel
+    # carries a custom VJP: dX via the stencil-transpose identity, dW via
+    # the accumulating kernel), and only for levels whose host prep
+    # produced aux (see ops/banded_conv.py). Training additionally caps
+    # the level size: the remat backward at the canonical 524k-voxel train
+    # bucket measured 20.3 G HBM (52% allocator fragmentation around the
+    # kernel's padded operands) vs the 15.75 G v5e budget, while the scan
+    # conv's XLA-native VJP fits — so big-batch training falls back per
+    # level and smaller batches keep the banded win.
+    import os as _os
+
+    banded_train_max = int(_os.environ.get("AGILE3D_BANDED_TRAIN_MAX",
+                                           262144))
     use_banded = cfg.banded_conv
     if use_banded is None:
         use_banded = jax.default_backend() == "tpu"
-    use_banded = use_banded and not training
 
     def bnd_of(level):
-        if use_banded and getattr(level, "blo", None) is not None:
-            return (level.blo, level.bw0)
-        return None
+        if not use_banded or getattr(level, "blo", None) is None:
+            return None
+        if training and level.k3.shape[0] > banded_train_max:
+            return None
+        return (level.blo, level.bw0)
 
     # stem at stride 1: strip gathers (k^2 column strips vs k^3 row
     # gathers), else factored two-stage when maps exist, else grouped scan

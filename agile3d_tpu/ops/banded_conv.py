@@ -38,8 +38,12 @@ kept in units of 32-row tiles and multiplied by 32 in-kernel so Mosaic can
 statically prove sublane alignment.
 
 Supersedes the gather half of the reference's MinkowskiConvolution
-(/root/reference/models/res16unet.py:222-295 hot loop); eval-path only —
-training keeps the scan conv (its VJP is XLA-native).
+(/root/reference/models/res16unet.py:222-295 hot loop). Differentiable:
+a custom VJP computes dX with the SAME kernel via the stencil-transpose
+identity (the transpose of the gather map under offset j is the map under
+-j = offset k-1-j, so dX = banded_conv(g, maps, flip(w).swapaxes(1, 2)))
+and dW with a dedicated accumulating kernel (_make_dw_kernel), so the
+training path can route through it too.
 """
 
 from __future__ import annotations
@@ -66,6 +70,19 @@ def banded_widths(k: int) -> tuple[int, ...]:
                  for j in range(k ** 3))
 
 
+def _effective_window(n: int, sub_ws, w_win: int = W_WIN):
+    """Window width shrunk for scenes smaller than the DMA window (their
+    whole array fits one window and w0 pins to 0). The per-offset band
+    PROFILE is kept as-is — scenes narrower than the widest band are not
+    banded-eligible (None from banded_prep; the conv falls back). Must be
+    computed identically by banded_prep and banded_conv."""
+    sub_ws = tuple(int(s) for s in sub_ws)
+    w_eff = min(w_win, n)
+    if w_eff < max(sub_ws):
+        return sub_ws, None
+    return sub_ws, w_eff
+
+
 def banded_prep(nbr: np.ndarray, *, block_m: int = BLOCK_M,
                 w_win: int = W_WIN, sub_ws=None):
     """Host-side window planning for one padded level.
@@ -82,6 +99,10 @@ def banded_prep(nbr: np.ndarray, *, block_m: int = BLOCK_M,
         return None, None, False
     if sub_ws is None:
         sub_ws = banded_widths(round(k ** (1 / 3)))
+    # scenes smaller than the window DMA the whole array (w0 = 0)
+    sub_ws, w_win = _effective_window(n, sub_ws, w_win)
+    if w_win is None:
+        return None, None, False
     sub_ws = np.asarray(sub_ws, np.int32)
     nb = n // block_m
     cells = nbr.reshape(nb, block_m, k)          # int32; rows < 2^24
@@ -89,7 +110,11 @@ def banded_prep(nbr: np.ndarray, *, block_m: int = BLOCK_M,
     big = np.int32(1) << 30
     gmin = np.where(present, cells, big).min(axis=(1, 2))       # [nb]
     gmin = np.where(gmin == big, 0, gmin)
-    w0 = np.clip((gmin // 32) * 32, 0, n)                       # aligned
+    # Window starts clamped so [w0, w0+w_win) always lies inside the n
+    # padded rows: the kernel can DMA straight from x with NO zero-row
+    # concatenate (tail blocks read a window ending exactly at n — their
+    # neighbors are all < n by monotonicity, so bands still cover them).
+    w0 = np.clip((gmin // 32) * 32, 0, n - w_win)               # aligned
     rel = cells - w0[:, None, None]
     lo = np.where(present, rel, big).min(axis=1)                # [nb, k]
     lo = np.where(lo == big, 0, lo)
@@ -118,7 +143,7 @@ def _make_kernel(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
     kpad = ((k + 31) // 32) * 32
     cin_p = ((cin + 127) // 128) * 128   # lane-aligned HBM window DMA
 
-    def kernel(w0_ref, x_hbm, nbr_ref, w_ref, out_ref, xwin, sem):
+    def kernel(w0_ref, x_hbm, nbr_ref, lo_ref, w_ref, out_ref, xwin, sem):
         i = pl.program_id(0)
         slot = jax.lax.rem(i, 2)
         w0 = w0_ref[i] * 32
@@ -138,10 +163,10 @@ def _make_kernel(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
 
         win_dma(i, slot).wait()
 
-        nbrs = nbr_ref[:]                                   # [BM, 2*kpad]
+        nbrs = nbr_ref[:]                                   # [BM, kpad]
         acc = jnp.zeros((block_m, cout), jnp.float32)
         for j in range(k):
-            lo = nbrs[0, kpad + j] * 32
+            lo = lo_ref[jax.lax.rem(i, 8), j] * 32
             rel = nbrs[:, j] - w0 - lo                      # [BM]
             sub = xwin[slot, pl.ds(lo, sub_ws[j]), :]       # [sub_ws[j], C]
             col = jax.lax.broadcasted_iota(
@@ -158,8 +183,10 @@ def _make_kernel(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),              # x (HBM)
-            pl.BlockSpec((block_m, 2 * kpad), lambda i, w0: (i, 0),
-                         memory_space=pltpu.VMEM),          # nbr | lo lanes
+            pl.BlockSpec((block_m, k), lambda i, w0: (i, 0),
+                         memory_space=pltpu.VMEM),          # neighbors
+            pl.BlockSpec((8, kpad), lambda i, w0: (i // 8, 0),
+                         memory_space=pltpu.VMEM),          # band starts
             pl.BlockSpec(memory_space=pltpu.VMEM),          # weights
         ],
         out_specs=pl.BlockSpec((block_m, cout), lambda i, w0: (i, 0),
@@ -177,16 +204,150 @@ def _make_kernel(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
         interpret=interpret,
     )
 
-    def conv(x, aug, w0_t, wt):
-        # x gains w_win zero rows (window DMA can never run OOB) and zero
-        # cols up to the 128-lane tile (aligned DMA slices).
-        xp = jnp.concatenate(
-            [x, jnp.zeros((w_win, x.shape[1]), x.dtype)]).astype(jnp.bfloat16)
-        xp = jnp.pad(xp, ((0, 0), (0, cin_p - cin)))
+    def conv(x, k3p, lo_t, w0_t, wt):
+        # Window starts are host-clamped to [0, n - w_win] (banded_prep),
+        # so the DMA never runs OOB and x needs no zero-row concatenate —
+        # only zero cols up to the 128-lane tile (aligned DMA slices).
+        xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, cin_p - cin)))
         wp = jnp.pad(wt.astype(jnp.bfloat16),
                      ((0, 0), (0, cin_p - cin), (0, 0)))
-        return call(w0_t, xp, aug, wp)
+        return call(w0_t, xp, k3p, lo_t, wp)
 
+    return conv
+
+
+@functools.lru_cache(maxsize=None)
+def _make_dw_kernel(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
+                    block_m: int, w_win: int, interpret: bool):
+    """dL/dw for the banded conv: dw[j] = sum_m x[nbr[m, j]]^T @ g[m].
+
+    Same double-buffered window DMA + one-hot band gathers as the forward
+    kernel; each block then contracts the gathered rows against its grad
+    block ([BM, cin]^T @ [BM, cout] per offset) and accumulates straight
+    into the resident [k*cin_p, cout] output block (constant index_map, so
+    the accumulator lives in VMEM across the sequential TPU grid).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nb = n // block_m
+    kpad = ((k + 31) // 32) * 32
+    cin_p = ((cin + 127) // 128) * 128
+
+    def kernel(w0_ref, x_hbm, nbr_ref, lo_ref, g_ref, out_ref, xwin, sem):
+        i = pl.program_id(0)
+        slot = jax.lax.rem(i, 2)
+        w0 = w0_ref[i] * 32
+
+        def win_dma(blk, buf):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(w0_ref[blk] * 32, w_win), :],
+                xwin.at[buf], sem.at[buf])
+
+        @pl.when(i == 0)
+        def _():
+            win_dma(0, 0).start()
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            win_dma(i + 1, 1 - slot).start()
+
+        win_dma(i, slot).wait()
+
+        nbrs = nbr_ref[:]                                   # [BM, kpad]
+        g = g_ref[:].astype(jnp.bfloat16)                   # [BM, cout]
+        for j in range(k):
+            lo = lo_ref[jax.lax.rem(i, 8), j] * 32
+            rel = nbrs[:, j] - w0 - lo                      # [BM]
+            sub = xwin[slot, pl.ds(lo, sub_ws[j]), :]       # [sub_ws[j], C]
+            col = jax.lax.broadcasted_iota(
+                jnp.int32, (block_m, sub_ws[j]), 1)
+            onehot = (rel[:, None] == col).astype(jnp.bfloat16)
+            gathered = jnp.dot(onehot, sub,
+                               preferred_element_type=jnp.float32)
+            dwj = jax.lax.dot_general(                      # [cin_p, cout]
+                gathered.astype(jnp.bfloat16), g,
+                ((( 0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[pl.ds(j * cin_p, cin_p), :] += dwj
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),              # x (HBM)
+            pl.BlockSpec((block_m, k), lambda i, w0: (i, 0),
+                         memory_space=pltpu.VMEM),          # neighbors
+            pl.BlockSpec((8, kpad), lambda i, w0: (i // 8, 0),
+                         memory_space=pltpu.VMEM),          # band starts
+            pl.BlockSpec((block_m, cout), lambda i, w0: (i, 0),
+                         memory_space=pltpu.VMEM),          # grad block
+        ],
+        out_specs=pl.BlockSpec((k * cin_p, cout), lambda i, w0: (0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, w_win, cin_p), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((k * cin_p, cout), jnp.float32),
+        interpret=interpret,
+    )
+
+    def dw(x, k3p, lo_t, w0_t, g):
+        xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, cin_p - cin)))
+        flat = call(w0_t, xp, k3p, lo_t, g.astype(jnp.float32))
+        return flat.reshape(k, cin_p, cout)[:, :cin, :]
+
+    return dw
+
+
+@functools.lru_cache(maxsize=None)
+def _make_vjp_conv(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
+                   block_m: int, w_win: int, interpret: bool):
+    """banded conv with a custom VJP (powers the TRAINING path).
+
+    dX uses the stencil-transpose identity: for a stride-1 cubic stencil on
+    one coordinate set, the transpose of the gather map under offset j is
+    the gather map under -j, and kernel_offsets enumerates offsets so that
+    -offsets[j] == offsets[k-1-j] (verified symmetric for k in {2,3,5}).
+    Hence dX = banded_conv(g, same maps/aux, flip(w, 0).swapaxes(1, 2)) —
+    the SAME forward kernel with reversed, channel-transposed weights.
+    dW runs the dedicated accumulating kernel (_make_dw_kernel).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fwd_fn = _make_kernel(n, k, cin, cout, sub_ws, block_m, w_win,
+                          interpret)
+    # channel dims swap for the dX pass (gathers grads: cout -> cin)
+    dx_fn = _make_kernel(n, k, cout, cin, sub_ws, block_m, w_win,
+                         interpret)
+    dw_fn = _make_dw_kernel(n, k, cin, cout, sub_ws, block_m, w_win,
+                            interpret)
+
+    @jax.custom_vjp
+    def conv(x, k3p, lo_t, w0_t, w):
+        return fwd_fn(x, k3p, lo_t, w0_t, w)
+
+    def fwd(x, k3p, lo_t, w0_t, w):
+        return fwd_fn(x, k3p, lo_t, w0_t, w), (x, k3p, lo_t, w0_t, w)
+
+    def bwd(res, g):
+        x, k3p, lo_t, w0_t, w = res
+        wt = jnp.flip(w, 0).swapaxes(1, 2)                  # [K, cout, cin]
+        dx = dx_fn(g, k3p, lo_t, w0_t, wt)
+        dw = dw_fn(x, k3p, lo_t, w0_t, g)
+        return dx.astype(x.dtype), None, None, None, dw.astype(w.dtype)
+
+    conv.defvjp(fwd, bwd)
     return conv
 
 
@@ -209,6 +370,10 @@ def banded_conv(x, k3, lo_t, w0_t, w, sub_ws=None):
       lo_t, w0_t: banded aux from `banded_prep` (tile units).
       w: [K, cin, cout] weights.
     Returns [Np, cout] float32.
+
+    Differentiable wrt x and w (custom VJP — dX via the stencil-transpose
+    identity on the same kernel, dW via the accumulating kernel), so the
+    TRAINING path can route through it too.
     """
     import jax.numpy as jnp
 
@@ -216,10 +381,12 @@ def banded_conv(x, k3, lo_t, w0_t, w, sub_ws=None):
     k, _, cout = w.shape
     if sub_ws is None:
         sub_ws = banded_widths(round(k ** (1 / 3)))
-    fn = _make_kernel(n, k, cin, cout, tuple(sub_ws), BLOCK_M, W_WIN,
-                      _interpret_mode())
-    kpad = ((k + 31) // 32) * 32
-    k3p = jnp.pad(k3, ((0, 0), (0, kpad - k)), constant_values=-1)
-    aug = jnp.concatenate(
-        [k3p, jnp.repeat(lo_t, BLOCK_M, axis=0)], axis=1)
-    return fn(x, aug, w0_t, w)
+    sub_ws, w_win = _effective_window(n, sub_ws)
+    if w_win is None:
+        raise ValueError(
+            f"banded_conv on {n} rows < widest band {max(sub_ws)}; the "
+            "caller should have routed this level to the scan conv "
+            "(banded_prep returns no aux for it)")
+    fn = _make_vjp_conv(n, k, cin, cout, sub_ws, BLOCK_M, w_win,
+                        _interpret_mode())
+    return fn(x, k3, lo_t, w0_t, w)

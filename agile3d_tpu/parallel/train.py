@@ -124,7 +124,7 @@ def make_dp_train_step(cfg: Config, tx, mesh: Mesh):
                                          raw, sample_idx, training=True,
                                          cfg=cfg.model)
         out = forward_mask(p, buffers, scene, clicks, num_obj, cfg=cfg.model,
-                           train_rng=drng)
+                           train_rng=drng, scan_rounds=True)
         target = jnp.maximum(labels, 0)
         vox_valid = scene.vox_valid & (labels >= 0)
         weights = click_loss_weights(scene.raw, vox_valid, clicks.vox,

@@ -81,17 +81,43 @@ def main(batch_size=5, n_points=150000):
     print(f"train step compile+first: {time.time() - t0:.1f}s",
           file=sys.stderr)
 
-    iters = 10
-    p, bs, os_ = params, bn_state, opt_state
-    t0 = time.time()
-    for _ in range(iters):
-        p, bs, os_, tot, losses, gnorm, miou = train_step(
-            p, buffers, bs, os_, pyr, feats, raw, si, clicks, labels,
-            num_obj)
-    fence(tot)
-    step_s = (time.time() - t0) / iters
-    print(f"train step steady: {step_s * 1000:.1f} ms, loss {float(tot):.4f}",
+    # Steady state via the dispatch-overhead extrapolation (bench.py /
+    # PERF.md round 3): per-fenced-dispatch overhead scales with executable
+    # size, so the step is timed inside ONE executable at two TRACED trip
+    # counts and T = (n2*t2 - n1*t1)/(n2 - n1) removes it. The optimizer/
+    # BN/param carry provides the inter-iteration data dependency.
+    from bench import min_over_draws
+
+    def make_train_loop(draw):
+        eps = 1e-38 + draw * 1e-40
+
+        # every device operand is a jit ARGUMENT: closure-captured device
+        # arrays serialize into the lowered MLIR as literal constants (the
+        # kernel maps alone blow the program from ~5 MB to ~750 MB of
+        # stablehlo and the axon compile relay rejects it with HTTP 413)
+        @jax.jit
+        def loop(p0, bs0, os0, buffers, pyr, feats, raw, si, clicks,
+                 labels, num_obj, n):
+            def body(_, c):
+                p, bs, os_ = c
+                p, bs, os_, tot, *_ = train_step(
+                    p, buffers, bs, os_, pyr, feats, raw, si, clicks,
+                    labels, num_obj)
+                return (p, bs, os_)
+
+            p, bs, os_ = jax.lax.fori_loop(
+                0, n, body, (p0, bs0, os0))
+            return (jax.tree_util.tree_leaves(p)[0].reshape(-1)[0]
+                    * (1.0 + eps))
+
+        return loop, (params, bn_state, opt_state, buffers, pyr, feats,
+                      raw, si, clicks, labels, num_obj)
+
+    step_ms = min_over_draws(make_train_loop, "train_step", 1, 4)
+    step_s = step_ms / 1000
+    print(f"train step steady (dispatch-extrapolated): {step_ms:.1f} ms",
           file=sys.stderr)
+    p, bs, os_ = params, bn_state, opt_state
 
     # --- host-pipeline overlap (VERDICT r2 missing #2): with the prefetch
     # thread (data/prefetch.py) assembling batch N+1 during device step N,
@@ -152,4 +178,10 @@ def main(batch_size=5, n_points=150000):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch_size", type=int, default=5)
+    ap.add_argument("--n_points", type=int, default=150000)
+    args = ap.parse_args()
+    main(args.batch_size, args.n_points)

@@ -55,6 +55,44 @@ def test_banded_matches_scan_and_zero_pads():
         assert float(jnp.abs(got[pad_rows]).max()) == 0.0
 
 
+def test_banded_grads_match_scan_conv():
+    """Custom VJP: dX (stencil-transpose identity) and dW (accumulating
+    kernel) must match jax.grad through the XLA scan conv."""
+    lvl = _small_padded_k3()
+    k3 = lvl.k3
+    n = k3.shape[0]
+    w0_t, lo_t, ok = banded_prep(k3)
+    assert ok
+    rng = np.random.default_rng(7)
+    cin, cout = 96, 64
+    x = jnp.asarray(rng.standard_normal((n, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((27, cin, cout)).astype(np.float32)
+                    * 0.1)
+    # a fixed cotangent-shaping target makes the losses identical functions
+    tgt = jnp.asarray(rng.standard_normal((n, cout)).astype(np.float32))
+    k3_d, lo_d, w0_d = jnp.asarray(k3), jnp.asarray(lo_t), jnp.asarray(w0_t)
+
+    def loss_banded(x, w):
+        return jnp.sum((banded_conv(x, k3_d, lo_d, w0_d, w) - tgt) ** 2)
+
+    def loss_scan(x, w):
+        return jnp.sum((sparse_conv(x, k3_d, w) - tgt) ** 2)
+
+    gx_b, gw_b = jax.grad(loss_banded, argnums=(0, 1))(x, w)
+    gx_s, gw_s = jax.grad(loss_scan, argnums=(0, 1))(x, w)
+    # both paths round activations/grads to bf16 before MXU passes on TPU;
+    # on CPU the scan conv runs f32, so tolerances are bf16-scale
+    def rel_err(a, b):
+        return float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-6))
+
+    assert rel_err(gx_b, gx_s) < 0.03, rel_err(gx_b, gx_s)
+    assert rel_err(gw_b, gw_s) < 0.03, rel_err(gw_b, gw_s)
+    # pad rows get zero gradient (zero-pad invariant survives the VJP)
+    pad_rows = ~np.asarray(lvl.valid)
+    if pad_rows.any():
+        assert float(jnp.abs(gx_b[pad_rows]).max()) == 0.0
+
+
 def test_banded_prep_invariants():
     lvl = _small_padded_k3()
     k3 = lvl.k3

@@ -166,6 +166,57 @@ def main():
     if "I" in which:
         results["I banded, pyr args, loop x4"] = backbone_args_variant(
             "I: banded, args, loop x4", True, 4)
+    # Kn: ASYNC-CHAINED host dispatches — n calls whose inputs chain via a
+    # denormal eps, fenced ONCE at the end. If the runtime pipelines the
+    # per-dispatch overhead under execution, per-iter ~= the in-graph T and
+    # the form is valid for programs too big to wrap in fori_loop (the
+    # train step overflows the compile relay's request limit at ~1 MB
+    # MLIR, HTTP 413).
+    for tok in sorted(which):
+        if tok.startswith("K"):
+            n_chain = int(tok[1:])
+
+            def make_chain(draw):
+                eps = 1e-38 + (draw + 16 * SALT) * 1e-40
+
+                @jax.jit
+                def once(params, buffers, bn_state, pyr, feats, raw, si):
+                    scene, _ = forward_backbone(params, buffers, bn_state,
+                                                pyr, feats, raw, si,
+                                                training=False,
+                                                cfg=cfg.model)
+                    s = jnp.sum(scene.mask_feat.astype(jnp.float32))
+                    return feats * (1.0 + s * eps)
+
+                def timed():
+                    import time
+                    t0 = time.time()
+                    f = feats_dev
+                    for _ in range(n_chain):
+                        f = once(params, buffers, bn_state, pyr, f,
+                                 raw_dev, si_dev)
+                    fence(f)
+                    return 1000 * (time.time() - t0) / n_chain
+
+                return timed
+
+            # plain per-rep scalar: reuse min_over_draws is (loop_fn,args)
+            # shaped now, so run draws inline here
+            vals = []
+            for draw in range(2):
+                timed = make_chain(draw)
+                import time as _t
+                t0 = _t.time()
+                timed()
+                print(f"K{n_chain} draw {draw}: compile+first "
+                      f"{_t.time() - t0:.1f}s", file=sys.stderr)
+                reps = [timed() for _ in range(3)]
+                vals.append(float(np.median(reps)))
+                print(f"K{n_chain} draw {draw}: steady {vals[-1]:.2f} "
+                      f"ms/iter (reps {[f'{r:.1f}' for r in reps]})",
+                      file=sys.stderr)
+            results[f"K async chain x{n_chain}"] = min(vals)
+
     # dispatch-cost model check: t(N) = T + B/N (B = per-dispatch overhead
     # ~ executable size / tunnel bandwidth; T = true steady per-iteration).
     # Jn / Ln sweep N for the scan / banded paths.

@@ -147,17 +147,39 @@ def main():
           flush=True)
 
     if not args.skip_backbone:
-        # steady-state backbone: per-call wall clock fenced by a scalar
-        # readback (giant fori_loop programs overflow the axon
-        # remote-compile relay at this bucket size; per-call fencing adds
-        # ~2 ms, noise at this scale)
-        ts = []
-        for _ in range(3):
-            t0 = time.time()
-            sc, _ = engine.run_backbone(params, buffers, bn_state, batch)
-            fence(sc.mask_feat)
-            ts.append((time.time() - t0) * 1e3)
-        print(f"backbone steady: {min(ts):.1f} ms (per-call fenced)",
+        # steady-state backbone via the dispatch-overhead extrapolation
+        # (PERF.md round 3): every fenced dispatch pays ~seconds of
+        # executable-size-proportional tunnel overhead, so the loop runs
+        # in-graph at two TRACED trip counts and T = (n2*t2 - n1*t1)/
+        # (n2 - n1) removes it. (The round-2 per-call numbers at this
+        # scale were dominated by that overhead — hence their 2-4x
+        # "rerun variance", which was tunnel-day variance in B.)
+        from bench import min_over_draws
+        from agile3d_tpu.models.agile3d import forward_backbone
+
+        pyr_d, feats_d, raw_d, si_d = engine.device_batch(batch)
+
+        def make_bb_loop(draw):
+            eps = 1e-38 + draw * 1e-40
+
+            @jax.jit
+            def loop(params, buffers, bn_state, pyr, feats, raw, si, n):
+                def body(_, f):
+                    sc, _ = forward_backbone(params, buffers, bn_state,
+                                             pyr, f, raw, si,
+                                             training=False, cfg=cfg.model)
+                    s = jnp.sum(sc.mask_feat.astype(jnp.float32))
+                    return f * (1.0 + s * eps)
+
+                f = jax.lax.fori_loop(0, n, body, feats)
+                return jnp.sum(f) * eps
+
+            return loop, (params, buffers, bn_state, pyr_d, feats_d,
+                          raw_d, si_d)
+
+        bb_ms = min_over_draws(make_bb_loop, "backbone",
+                               2, 8 if args.quick else 16)
+        print(f"backbone steady: {bb_ms:.1f} ms (dispatch-extrapolated)",
               flush=True)
 
     # per-click decoder at this scale, mid-session click state
@@ -171,38 +193,38 @@ def main():
                     time=jnp.asarray(clicks.time[None, :mc]))
     num_obj_dev = jnp.asarray([10], jnp.int32)
 
-    # min over >= 2 INDEPENDENT compiles: the axon compile service
-    # nondeterministically emits 10-80x slower binaries (PERF.md); a
-    # draw-indexed denormal constant gives each draw a fresh cache key.
-    n_draws = 1 if args.quick else 2
-    n_reps = 1 if args.quick else 5
-    per_draw = []
-    pred_single = None
-    for draw in range(n_draws):
+    # dispatch-extrapolated in-graph loop, min over >= 2 INDEPENDENT
+    # compiles (the axon compile service nondeterministically emits
+    # 10-80x slower binaries — PERF.md; a draw-indexed denormal constant
+    # gives each draw a fresh cache key).
+    from bench import min_over_draws
+
+    def make_fm_loop(draw):
         eps = 1e-38 + draw * 1e-40
 
         @jax.jit
-        def fm_once(params, buffers, scene, cs, num_obj):
-            out = forward_mask(params, buffers, scene, cs, num_obj,
-                               cfg=cfg.model)
-            pred = jnp.argmax(out["pred_masks"], -1)
-            return pred, out["pred_masks"][..., :1] * eps
+        def loop(params, buffers, scene, cs, num_obj, n):
+            def body(_, feat):
+                sc = scene._replace(mask_feat=feat)
+                out = forward_mask(params, buffers, sc, cs, num_obj,
+                                   cfg=cfg.model)
+                pred = jnp.argmax(out["pred_masks"], -1)
+                return feat + pred[..., :1].astype(jnp.float32) * eps
 
-        t0 = time.time()
-        pred_d, _ = fm_once(params, buffers, scene, cs, num_obj_dev)
-        fence(pred_d.astype(jnp.float32))
-        t_cold = time.time() - t0
-        reps = []
-        for _ in range(n_reps):
-            t0 = time.time()
-            pred_d, _ = fm_once(params, buffers, scene, cs, num_obj_dev)
-            fence(pred_d.astype(jnp.float32))
-            reps.append((time.time() - t0) * 1e3)
-        per_draw.append(float(np.median(reps)))
-        pred_single = pred_d
-        print(f"  fm draw {draw}: compile {t_cold:.1f}s, "
-              f"median {per_draw[-1]:.1f} ms", flush=True)
-    per_click = min(per_draw)
+            return jax.lax.fori_loop(0, n, body, scene.mask_feat)
+
+        return loop, (params, buffers, scene, cs, num_obj_dev)
+
+    per_click = min_over_draws(make_fm_loop, "forward_mask",
+                               5, 20 if args.quick else 50)
+
+    @jax.jit
+    def fm_pred(params, buffers, scene, cs, num_obj):
+        out = forward_mask(params, buffers, scene, cs, num_obj,
+                           cfg=cfg.model)
+        return jnp.argmax(out["pred_masks"], -1)
+
+    pred_single = fm_pred(params, buffers, scene, cs, num_obj_dev)
     mem = device_memory_stats()
     print(f"forward_mask at {n_valid} voxels: {per_click:.1f} ms/click "
           f"(min over {len(per_draw)} compiles); HBM peak "
