@@ -200,18 +200,35 @@ def sparse_conv_strips(x: jax.Array, nbr: jax.Array, w: jax.Array,
     y = jnp.concatenate([jnp.roll(xc, -d, axis=0) for d in range(k)], axis=1)
 
     def strip_slab(r0_g, delta_g):
-        """Gather gg column strips and lay them out as a [m, gg*k*cin] slab."""
-        parts = []
-        for gi in range(r0_g.shape[0]):
-            rows = y[r0_g[gi]]                              # [m, k*cin]
-            for j in range(k):
-                sel = jnp.zeros((m, cin), packed_dtype)
-                for d in range(j + 1):  # cell j's rank can be at most j
-                    pick = delta_g[gi, :, j] == d
-                    sel = jnp.where(pick[:, None],
-                                    rows[:, d * cin:(d + 1) * cin], sel)
-                parts.append(sel)
-        return jnp.concatenate(parts, axis=1)
+        """Gather gg column strips and lay them out as a [m, gg*k*cin] slab.
+
+        Compaction (present cells -> kernel-cell slots) is vectorized
+        across groups and cells: k wide passes over the whole slab. The
+        per-cell form (gg * k(k+1)/2 masked selects, each on a narrow
+        [m, cin] array) materialized every select into a 128-lane
+        tile-padded buffer — ~42x physical HBM traffic at cin=3; the
+        device trace showed those selects + their concat costing ~55 ms
+        of the 139 ms backbone forward (PERF.md round 3)."""
+        gg_n = r0_g.shape[0]
+        w_slab = gg_n * k * cin
+        # Every MATERIALIZED array here must stay 2D [m, w_slab]: 4D
+        # [m, gg, k, cin] intermediates tile-pad the trailing (k, cin)
+        # dims to (8, 128) — measured 44.6 ms standalone vs 19.3 for the
+        # per-cell form. The broadcasts below are lazy inside one fusion.
+        # Strips are gathered per group with 1D row indices: a single
+        # 2D-index gather (y[r0_g.T]) hits XLA's generic gather path.
+        rows2 = jnp.concatenate([y[r0_g[gi]] for gi in range(gg_n)],
+                                axis=1)                 # [m, (g, slot, c)]
+        # rank[m, (g, j, c)] = delta[m, g, j], repeated over c
+        rank = jnp.repeat(
+            delta_g.transpose(1, 0, 2).reshape(m, gg_n * k), cin, axis=1)
+        out = jnp.zeros((m, w_slab), packed_dtype)
+        for d in range(k):  # out[m,(g,j,c)] = rows2[m,(g,delta[m,g,j],c)]
+            src_d = jnp.broadcast_to(
+                rows2.reshape(m, gg_n, k, cin)[:, :, d:d + 1, :],
+                (m, gg_n, k, cin)).reshape(m, w_slab)
+            out = jnp.where(rank == d, src_d, out)
+        return out
 
     pad_g = (-n_grp) % gg
     if pad_g:  # pad with empty groups (all cells absent -> select nothing)
