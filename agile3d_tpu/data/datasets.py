@@ -189,7 +189,8 @@ class InterSingleObjDataset:
 def collate_scenes(samples: list[SceneSample],
                    buckets=DEFAULT_VOXEL_BUCKETS,
                    factored: bool = False,
-                   dilated_stem: bool = False) -> SceneBatch:
+                   dilated_stem: bool = False,
+                   stem_banded: bool = True) -> SceneBatch:
     """Concatenate samples into a flat batched pyramid + per-sample padded
     views (replaces ME batched_coordinates + ragged lists, reference
     InterMultiObj3DSegDataset.py:126-136).
@@ -202,7 +203,7 @@ def collate_scenes(samples: list[SceneSample],
     batch_ids = np.repeat(np.arange(len(samples), dtype=np.int32), counts)
     pyr = pad_pyramid(build_pyramid(vox, batch_ids, factored=factored,
                                     dilated_stem=dilated_stem),
-                      buckets)
+                      buckets, stem_banded=stem_banded)
     n0 = pyr.levels[0].grid.shape[0]
 
     feats = pad_features(np.vstack([s.feats for s in samples]).astype(np.float32), n0)

@@ -175,7 +175,7 @@ def prepare_batch(dataset, batch_ids, cfg: Config, seed: int):
     subsets from a seed-local generator (so the result is independent of
     WHEN it runs — the basis for the prefetcher's determinism contract)."""
     samples = [dataset[int(j)] for j in batch_ids]
-    batch = collate_scenes(samples, cfg.buckets)
+    batch = collate_scenes(samples, cfg.buckets, stem_banded=False)
     b = len(samples)
     n_valid = [int((batch.sample_idx[i] >= 0).sum()) for i in range(b)]
     rng = np.random.default_rng(seed)

@@ -394,7 +394,19 @@ def backbone_forward(
             "dilated window maps — build it with "
             "build_pyramid(..., dilated_stem=True) or "
             "collate_scenes(..., dilated_stem=True)")
-    if (cfg.strip_conv and cfg.stem_zdilated
+    if (use_banded and not training and cfg.conv1_kernel_size == 5
+            and getattr(lv[0], "sb_r0", None) is not None):
+        # banded Mosaic stem: 25 windowed one-hot strip gathers + in-kernel
+        # compaction replace the XLA strips path's random-access gathers
+        # and lane-padded selects (ops/banded_stem.py). Eval only — the
+        # stem is the first layer, training keeps the strips conv whose
+        # VJP is XLA-native.
+        from agile3d_tpu.ops.banded_stem import banded_stem_conv
+
+        out = banded_stem_conv(feats, lv[0].sb_r0, lv[0].sb_rank,
+                               lv[0].sb_w0, lv[0].sb_lo, lv[0].sb_exc,
+                               lv[0].k5, stem_w).astype(feats.dtype)
+    elif (cfg.strip_conv and cfg.stem_zdilated
             and getattr(lv[0], "zd_q0", None) is not None
             and _strips_wins(cfg.conv1_kernel_size, cfg.in_channels)):
         # zero-select packed windows over the z-dilated set — measured

@@ -64,7 +64,8 @@ def collate_sharded(sample_groups: list[list[SceneSample]],
         for lv in range(n_levels)
     ]
     forced = tuple(sizes)  # same bucket list forces identical padded sizes
-    padded = [pad_pyramid(p, forced) for p in pyrs]
+    padded = [pad_pyramid(p, forced, stem_banded=False)
+              for p in pyrs]
     pyramid = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *padded)
 
     n0 = sizes[0]

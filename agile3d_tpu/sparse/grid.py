@@ -41,6 +41,13 @@ class PaddedLevel(NamedTuple):
     # static dispatch, never a wrong result)
     bw0: np.ndarray | None = None     # int32 [Np/128] window starts /32
     blo: np.ndarray | None = None     # int32 [Np/128, Kpad] band starts /32
+    # banded STEM aux (ops/banded_stem.stem_banded_prep) — finest level
+    # only; None falls back to the XLA strips stem the same way
+    sb_w0: np.ndarray | None = None   # int32 [Np/128] window starts /32
+    sb_lo: np.ndarray | None = None   # int32 [Np/128, 32] band starts /32
+    sb_r0: np.ndarray | None = None   # int32 [Np, 32] strip-start rows
+    sb_rank: np.ndarray | None = None  # int8 [Np, 512] per-lane cell rank
+    sb_exc: np.ndarray | None = None  # int32 [EXC_CAP, 2] out-of-band strips
 
 
 class PaddedPyramid(NamedTuple):
@@ -58,7 +65,8 @@ def _pad_rows(a: np.ndarray | None, n: int, fill) -> np.ndarray | None:
 
 
 def pad_pyramid(
-    pyr: Pyramid, buckets: Sequence[int] = DEFAULT_VOXEL_BUCKETS
+    pyr: Pyramid, buckets: Sequence[int] = DEFAULT_VOXEL_BUCKETS,
+    stem_banded: bool = True,
 ) -> PaddedPyramid:
     from agile3d_tpu.ops.banded_conv import banded_prep
 
@@ -104,6 +112,16 @@ def pad_pyramid(
             bw0, blo, ok = banded_prep(out[-1].k3)
             if ok:
                 out[-1] = out[-1]._replace(bw0=bw0, blo=blo)
+        # banded stem aux (finest level, kernel-5 stem only; the stem
+        # kernel is eval-only, so training collation skips the prep)
+        if stem_banded and i == 0 and out[-1].k5 is not None and n >= 32768:
+            from agile3d_tpu.ops.banded_stem import stem_banded_prep
+
+            sw0, slo, sr0, srank, sexc, sok = stem_banded_prep(out[-1].k5)
+            if sok:
+                out[-1] = out[-1]._replace(sb_w0=sw0, sb_lo=slo,
+                                           sb_r0=sr0, sb_rank=srank,
+                                           sb_exc=sexc)
     return PaddedPyramid(levels=tuple(out))
 
 

@@ -75,6 +75,38 @@ def main():
 
         results["stem k5 strips"] = min_over_draws(make_stem, "stem", 4, 32)
 
+    if "stemk" in which:
+        from agile3d_tpu.ops.banded_stem import (banded_stem_conv,
+                                                 stem_banded_prep)
+
+        lv0 = pyr.levels[0]
+        sw0, slo, sr0, srank, sexc, sok = stem_banded_prep(lv0.k5)
+        print(f"stem prep ok={sok} exceptions="
+              f"{int((sexc[:, 0] >= 0).sum()) if sok else '-'}",
+              file=sys.stderr)
+        if sok:
+            k5 = jnp.asarray(lv0.k5)
+            w = jnp.asarray(
+                rng.standard_normal((125, 3, 32)).astype(np.float32) * 0.05)
+            aux = tuple(jnp.asarray(a) for a in (sr0, srank, sw0, slo, sexc))
+
+            def make_stemk(draw):
+                eps = 1e-38 + (draw + 16 * SALT) * 1e-40
+
+                @jax.jit
+                def loop(x, aux, k5, w, n):
+                    def body(_, f):
+                        out = banded_stem_conv(f, *aux, k5, w)
+                        return f * (1.0 + jnp.sum(out) * eps)
+
+                    f = jax.lax.fori_loop(0, n, body, x)
+                    return jnp.sum(f) * eps
+
+                return loop, (x, aux, k5, w)
+
+            results["stem banded kernel"] = min_over_draws(
+                make_stemk, "stemk", 4, 32)
+
     if "bb" in which:
         params, state = init_backbone(jax.random.PRNGKey(0),
                                       cfg.model.backbone)
