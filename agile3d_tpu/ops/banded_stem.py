@@ -345,6 +345,10 @@ def banded_stem_conv(x, sb_r0, sb_rank, sb_w0, sb_lo, sb_exc, k5, w):
     # zero one-hot row in the kernel; compute their true contribution with
     # a plain gather + scatter-add. sb_exc is a fixed [EXC_CAP, 2]
     # (row, group) list, -1-padded, so shapes stay static.
+    # jnp-coerce: callers may close over a numpy pyramid (constants in
+    # the traced graph), and numpy fancy-indexing rejects traced indices
+    sb_exc = jnp.asarray(sb_exc)
+    k5 = jnp.asarray(k5)
     erow, egrp = sb_exc[:, 0], sb_exc[:, 1]
     live = erow >= 0
     cells = k5[jnp.maximum(erow, 0)]                        # [E, 125]
