@@ -54,7 +54,13 @@ import os
 import numpy as np
 
 BLOCK_M = 128
-W_WIN = 4096
+# Output sub-blocks sharing ONE window DMA: band starts (lo) stay
+# per-128-row sub-block (so band widths don't grow with the DMA block),
+# while the window fetch amortizes over SUB*BLOCK_M output rows — 4x less
+# window HBM traffic for +512 window rows. All voxel buckets are
+# multiples of SUB*BLOCK_M = 512.
+SUB = 4
+W_WIN = 4608
 # Per-offset-cluster static band widths (multiples of 32). Offsets come
 # from kernel_maps.kernel_offsets(3): z fastest, so j // 9 - 1 = dx.
 # Measured spans (tools/probe_banded_kernel.py, 196k + 98k scenes):
@@ -95,7 +101,7 @@ def banded_prep(nbr: np.ndarray, *, block_m: int = BLOCK_M,
       the static band profile (caller falls back to the scan conv).
     """
     n, k = nbr.shape
-    if n % block_m:
+    if n % (block_m * SUB):
         return None, None, False
     if sub_ws is None:
         sub_ws = banded_widths(round(k ** (1 / 3)))
@@ -108,14 +114,17 @@ def banded_prep(nbr: np.ndarray, *, block_m: int = BLOCK_M,
     cells = nbr.reshape(nb, block_m, k)          # int32; rows < 2^24
     present = cells >= 0
     big = np.int32(1) << 30
-    gmin = np.where(present, cells, big).min(axis=(1, 2))       # [nb]
+    # ONE window per SUB consecutive sub-blocks (shared DMA); band starts
+    # stay per sub-block below
+    gmin = np.where(present, cells, big).reshape(
+        nb // SUB, SUB * block_m, k).min(axis=(1, 2))           # [nb/SUB]
     gmin = np.where(gmin == big, 0, gmin)
     # Window starts clamped so [w0, w0+w_win) always lies inside the n
     # padded rows: the kernel can DMA straight from x with NO zero-row
     # concatenate (tail blocks read a window ending exactly at n — their
     # neighbors are all < n by monotonicity, so bands still cover them).
     w0 = np.clip((gmin // 32) * 32, 0, n - w_win)               # aligned
-    rel = cells - w0[:, None, None]
+    rel = cells - np.repeat(w0, SUB)[:, None, None]
     lo = np.where(present, rel, big).min(axis=1)                # [nb, k]
     lo = np.where(lo == big, 0, lo)
     lo = (lo // 32) * 32                                        # aligned
@@ -139,7 +148,7 @@ def _make_kernel(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nb = n // block_m
+    nb2 = n // (block_m * SUB)           # grid = shared-window blocks
     kpad = ((k + 31) // 32) * 32
     cin_p = ((cin + 127) // 128) * 128   # lane-aligned HBM window DMA
 
@@ -157,39 +166,40 @@ def _make_kernel(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
         def _():
             win_dma(0, 0).start()
 
-        @pl.when(i + 1 < nb)
+        @pl.when(i + 1 < nb2)
         def _():
             win_dma(i + 1, 1 - slot).start()
 
         win_dma(i, slot).wait()
 
-        nbrs = nbr_ref[:]                                   # [BM, kpad]
-        acc = jnp.zeros((block_m, cout), jnp.float32)
-        for j in range(k):
-            lo = lo_ref[jax.lax.rem(i, 8), j] * 32
-            rel = nbrs[:, j] - w0 - lo                      # [BM]
-            sub = xwin[slot, pl.ds(lo, sub_ws[j]), :]       # [sub_ws[j], C]
-            col = jax.lax.broadcasted_iota(
-                jnp.int32, (block_m, sub_ws[j]), 1)
-            onehot = (rel[:, None] == col).astype(jnp.bfloat16)
-            gathered = jnp.dot(onehot, sub,
-                               preferred_element_type=jnp.float32)
-            acc = acc + jnp.dot(gathered.astype(jnp.bfloat16), w_ref[j],
-                                preferred_element_type=jnp.float32)
-        out_ref[:] = acc
+        for sb in range(SUB):            # 128-row sub-blocks, own bands
+            nbrs = nbr_ref[sb * block_m:(sb + 1) * block_m, :]
+            acc = jnp.zeros((block_m, cout), jnp.float32)
+            for j in range(k):
+                lo = lo_ref[jax.lax.rem(i, 8) * SUB + sb, j] * 32
+                rel = nbrs[:, j] - w0 - lo                  # [BM]
+                sub = xwin[slot, pl.ds(lo, sub_ws[j]), :]   # [sub_ws[j], C]
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_m, sub_ws[j]), 1)
+                onehot = (rel[:, None] == col).astype(jnp.bfloat16)
+                gathered = jnp.dot(onehot, sub,
+                                   preferred_element_type=jnp.float32)
+                acc = acc + jnp.dot(gathered.astype(jnp.bfloat16), w_ref[j],
+                                    preferred_element_type=jnp.float32)
+            out_ref[sb * block_m:(sb + 1) * block_m, :] = acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(nb2,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),              # x (HBM)
-            pl.BlockSpec((block_m, k), lambda i, w0: (i, 0),
+            pl.BlockSpec((SUB * block_m, k), lambda i, w0: (i, 0),
                          memory_space=pltpu.VMEM),          # neighbors
-            pl.BlockSpec((8, kpad), lambda i, w0: (i // 8, 0),
+            pl.BlockSpec((8 * SUB, kpad), lambda i, w0: (i // 8, 0),
                          memory_space=pltpu.VMEM),          # band starts
             pl.BlockSpec(memory_space=pltpu.VMEM),          # weights
         ],
-        out_specs=pl.BlockSpec((block_m, cout), lambda i, w0: (i, 0),
+        out_specs=pl.BlockSpec((SUB * block_m, cout), lambda i, w0: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, w_win, cin_p), jnp.bfloat16),
@@ -232,7 +242,7 @@ def _make_dw_kernel(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nb = n // block_m
+    nb2 = n // (block_m * SUB)
     kpad = ((k + 31) // 32) * 32
     cin_p = ((cin + 127) // 128) * 128
 
@@ -251,39 +261,41 @@ def _make_dw_kernel(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
             win_dma(0, 0).start()
             out_ref[:] = jnp.zeros_like(out_ref)
 
-        @pl.when(i + 1 < nb)
+        @pl.when(i + 1 < nb2)
         def _():
             win_dma(i + 1, 1 - slot).start()
 
         win_dma(i, slot).wait()
 
-        nbrs = nbr_ref[:]                                   # [BM, kpad]
-        g = g_ref[:].astype(jnp.bfloat16)                   # [BM, cout]
-        for j in range(k):
-            lo = lo_ref[jax.lax.rem(i, 8), j] * 32
-            rel = nbrs[:, j] - w0 - lo                      # [BM]
-            sub = xwin[slot, pl.ds(lo, sub_ws[j]), :]       # [sub_ws[j], C]
-            col = jax.lax.broadcasted_iota(
-                jnp.int32, (block_m, sub_ws[j]), 1)
-            onehot = (rel[:, None] == col).astype(jnp.bfloat16)
-            gathered = jnp.dot(onehot, sub,
-                               preferred_element_type=jnp.float32)
-            dwj = jax.lax.dot_general(                      # [cin_p, cout]
-                gathered.astype(jnp.bfloat16), g,
-                ((( 0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            out_ref[pl.ds(j * cin_p, cin_p), :] += dwj
+        for sb in range(SUB):
+            nbrs = nbr_ref[sb * block_m:(sb + 1) * block_m, :]
+            g = g_ref[sb * block_m:(sb + 1) * block_m, :].astype(
+                jnp.bfloat16)                               # [BM, cout]
+            for j in range(k):
+                lo = lo_ref[jax.lax.rem(i, 8) * SUB + sb, j] * 32
+                rel = nbrs[:, j] - w0 - lo                  # [BM]
+                sub = xwin[slot, pl.ds(lo, sub_ws[j]), :]   # [sub_ws[j], C]
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_m, sub_ws[j]), 1)
+                onehot = (rel[:, None] == col).astype(jnp.bfloat16)
+                gathered = jnp.dot(onehot, sub,
+                                   preferred_element_type=jnp.float32)
+                dwj = jax.lax.dot_general(                  # [cin_p, cout]
+                    gathered.astype(jnp.bfloat16), g,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out_ref[pl.ds(j * cin_p, cin_p), :] += dwj
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(nb2,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),              # x (HBM)
-            pl.BlockSpec((block_m, k), lambda i, w0: (i, 0),
+            pl.BlockSpec((SUB * block_m, k), lambda i, w0: (i, 0),
                          memory_space=pltpu.VMEM),          # neighbors
-            pl.BlockSpec((8, kpad), lambda i, w0: (i // 8, 0),
+            pl.BlockSpec((8 * SUB, kpad), lambda i, w0: (i // 8, 0),
                          memory_space=pltpu.VMEM),          # band starts
-            pl.BlockSpec((block_m, cout), lambda i, w0: (i, 0),
+            pl.BlockSpec((SUB * block_m, cout), lambda i, w0: (i, 0),
                          memory_space=pltpu.VMEM),          # grad block
         ],
         out_specs=pl.BlockSpec((k * cin_p, cout), lambda i, w0: (0, 0),

@@ -55,7 +55,10 @@ import os
 import numpy as np
 
 BLOCK_M = 128
-W_WIN = 8192
+# Output sub-blocks sharing ONE window DMA (see ops/banded_conv.py SUB):
+# band starts stay per-128-row sub-block, the window fetch amortizes 4x.
+SUB = 4
+W_WIN = 8704
 K = 5
 NG = 25          # (dx, dy) strip groups
 SEC = 16         # slab lanes per group section (15 used + 1 pad)
@@ -99,7 +102,7 @@ def stem_banded_prep(k5: np.ndarray, *, block_m: int = BLOCK_M,
       in 32-row tile units, or Nones + False on fallback.
     """
     n, kk = k5.shape
-    if kk != NG * K or n % block_m:
+    if kk != NG * K or n % (block_m * SUB):
         return (None,) * 5 + (False,)
     sub_ws = np.asarray(stem_widths(), np.int32)
     w_eff = min(w_win, n)
@@ -118,10 +121,11 @@ def stem_banded_prep(k5: np.ndarray, *, block_m: int = BLOCK_M,
         return (None,) * 5 + (False,)
 
     blocks = np.where(has, r0, big).reshape(nb, block_m, NG)
-    gmin = blocks.min(axis=(1, 2))                          # [nb]
+    # one window per SUB consecutive sub-blocks (shared DMA)
+    gmin = blocks.reshape(nb // SUB, SUB * block_m, NG).min(axis=(1, 2))
     gmin = np.where(gmin == big, 0, gmin)
-    w0 = np.clip((gmin // 32) * 32, 0, n - w_eff)           # [nb]
-    rel = blocks - w0[:, None, None]
+    w0 = np.clip((gmin // 32) * 32, 0, n - w_eff)           # [nb/SUB]
+    rel = blocks - np.repeat(w0, SUB)[:, None, None]
     lo = np.where(blocks < big, rel, big).min(axis=1)       # [nb, NG]
     lo = np.where(lo == big, 0, lo)
     lo = (lo // 32) * 32
@@ -159,7 +163,7 @@ def _make_stem_kernel(n: int, cin: int, cout: int, block_m: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nb = n // block_m
+    nb2 = n // (block_m * SUB)
     w_eff = min(w_win, n)
     cout_p = ((cout + 127) // 128) * 128
 
@@ -207,62 +211,67 @@ def _make_stem_kernel(n: int, cin: int, cout: int, block_m: int,
         def _():
             win_dma(0, 0).start()
 
-        @pl.when(i + 1 < nb)
+        @pl.when(i + 1 < nb2)
         def _():
             win_dma(i + 1, 1 - slot).start()
 
         win_dma(i, slot).wait()
 
-        r0 = r0_ref[:]                                      # [BM, 32]
-        acc = jnp.zeros((block_m, cout_p), jnp.float32)
-        for t in range(NCHUNK):
-            slab = jnp.zeros((block_m, 128), jnp.float32)
-            for gi in range(8):
-                g = t * 8 + gi
-                if g >= NG:
-                    break
-                lo_g = lo_ref[jax.lax.rem(i, 8), g] * 32
-                rel = r0[:, g] - w0 - lo_g                  # [BM]
-                sub = ywin[slot, pl.ds(lo_g, sub_ws[g]), :]
-                col = jax.lax.broadcasted_iota(
-                    jnp.int32, (block_m, sub_ws[g]), 1)
-                onehot = (rel[:, None] == col).astype(jnp.bfloat16)
-                gath = jnp.dot(onehot, sub,
-                               preferred_element_type=jnp.float32)
-                slab = slab + jnp.dot(gath.astype(jnp.bfloat16),
-                                      place_ref[gi],
+        for sb in range(SUB):            # 128-row sub-blocks, own bands
+            r0 = r0_ref[sb * block_m:(sb + 1) * block_m, :]  # [BM, 32]
+            acc = jnp.zeros((block_m, cout_p), jnp.float32)
+            for t in range(NCHUNK):
+                slab = jnp.zeros((block_m, 128), jnp.float32)
+                for gi in range(8):
+                    g = t * 8 + gi
+                    if g >= NG:
+                        break
+                    lo_g = lo_ref[jax.lax.rem(i, 8) * SUB + sb, g] * 32
+                    rel = r0[:, g] - w0 - lo_g              # [BM]
+                    sub = ywin[slot, pl.ds(lo_g, sub_ws[g]), :]
+                    col = jax.lax.broadcasted_iota(
+                        jnp.int32, (block_m, sub_ws[g]), 1)
+                    onehot = (rel[:, None] == col).astype(jnp.bfloat16)
+                    gath = jnp.dot(onehot, sub,
+                                   preferred_element_type=jnp.float32)
+                    slab = slab + jnp.dot(
+                        gath.astype(jnp.bfloat16), place_ref[gi],
+                        preferred_element_type=jnp.float32)
+                # compaction: slot layout -> cell layout per section
+                # (int8 vector compares don't lower in Mosaic — upcast i32)
+                rank_t = rank_ref[sb * block_m:(sb + 1) * block_m,
+                                  t * 128:(t + 1) * 128].astype(jnp.int32)
+                slab_b = slab.astype(jnp.bfloat16)
+                comp = jnp.zeros((block_m, 128), jnp.float32)
+                for s in range(K):
+                    shifted = jnp.dot(slab_b, shift_ref[s],
                                       preferred_element_type=jnp.float32)
-            # compaction: slot layout -> cell layout within each section
-            # int8 vector compares don't lower in Mosaic — upcast to i32
-            rank_t = rank_ref[:, t * 128:(t + 1) * 128].astype(jnp.int32)
-            slab_b = slab.astype(jnp.bfloat16)
-            comp = jnp.zeros((block_m, 128), jnp.float32)
-            for s in range(K):
-                shifted = jnp.dot(slab_b, shift_ref[s],
-                                  preferred_element_type=jnp.float32)
-                mask = rank_t == jlane_ref[s, :][None, :].astype(jnp.int32)
-                comp = comp + jnp.where(mask, shifted, 0.0)
-            acc = acc + jnp.dot(comp.astype(jnp.bfloat16), w_ref[t],
-                                preferred_element_type=jnp.float32)
-        out_ref[:] = acc
+                    mask = rank_t == jlane_ref[s, :][None, :].astype(
+                        jnp.int32)
+                    comp = comp + jnp.where(mask, shifted, 0.0)
+                acc = acc + jnp.dot(comp.astype(jnp.bfloat16), w_ref[t],
+                                    preferred_element_type=jnp.float32)
+            out_ref[sb * block_m:(sb + 1) * block_m, :] = acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb,),
+        grid=(nb2,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),              # packed y (HBM)
-            pl.BlockSpec((block_m, 32), lambda i, w0: (i, 0),
+            pl.BlockSpec((SUB * block_m, 32), lambda i, w0: (i, 0),
                          memory_space=pltpu.VMEM),          # r0
-            pl.BlockSpec((block_m, NCHUNK * 128), lambda i, w0: (i, 0),
+            pl.BlockSpec((SUB * block_m, NCHUNK * 128),
+                         lambda i, w0: (i, 0),
                          memory_space=pltpu.VMEM),          # rank lanes
             pl.BlockSpec(memory_space=pltpu.VMEM),          # weights
-            pl.BlockSpec((8, 32), lambda i, w0: (i // 8, 0),
+            pl.BlockSpec((8 * SUB, 32), lambda i, w0: (i // 8, 0),
                          memory_space=pltpu.VMEM),          # band starts
             pl.BlockSpec(memory_space=pltpu.VMEM),          # place mats
             pl.BlockSpec(memory_space=pltpu.VMEM),          # shift mats
             pl.BlockSpec(memory_space=pltpu.VMEM),          # j-of-lane
         ],
-        out_specs=pl.BlockSpec((block_m, cout_p), lambda i, w0: (i, 0),
+        out_specs=pl.BlockSpec((SUB * block_m, cout_p),
+                               lambda i, w0: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, w_eff, 128), jnp.bfloat16),

@@ -10,6 +10,7 @@ import pytest
 from agile3d_tpu.config import Config
 from agile3d_tpu.ops.banded_conv import (
     BLOCK_M,
+    SUB,
     W_WIN,
     banded_conv,
     banded_prep,
@@ -100,11 +101,12 @@ def test_banded_prep_invariants():
     assert ok
     n, k = k3.shape
     nb = n // BLOCK_M
-    assert w0_t.shape == (nb,)
+    assert w0_t.shape == (nb // SUB,)   # one window per SUB sub-blocks
     assert lo_t.shape[0] == nb and lo_t.shape[1] >= k
     sub_ws = np.asarray(banded_widths(3))
     cells = k3.reshape(nb, BLOCK_M, k).astype(np.int64)
-    rel = cells - (w0_t[:, None, None].astype(np.int64) * 32)
+    w0_rows = np.repeat(w0_t, SUB)
+    rel = cells - (w0_rows[:, None, None].astype(np.int64) * 32)
     sub_rel = rel - lo_t[:, None, :k].astype(np.int64) * 32
     present = cells >= 0
     assert np.all(np.where(present, sub_rel >= 0, True))
@@ -138,7 +140,7 @@ def test_pad_pyramid_builds_banded_aux_only_when_big():
     l0 = pyr.levels[0]
     if l0.k3.shape[0] >= 32768:       # big scene: aux present and coherent
         assert l0.blo is not None and l0.bw0 is not None
-        assert l0.bw0.shape[0] == l0.k3.shape[0] // BLOCK_M
+        assert l0.bw0.shape[0] == l0.k3.shape[0] // (BLOCK_M * SUB)
     # deeper levels never carry aux
     for lv in pyr.levels[2:]:
         assert lv.blo is None
