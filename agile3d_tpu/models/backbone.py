@@ -238,7 +238,8 @@ def _conv3(x, k3, zb, w, strips=False, bnd=None):
     if bnd is not None:
         from agile3d_tpu.ops.banded_conv import banded_conv
 
-        return banded_conv(x, k3, bnd[0], bnd[1], w).astype(x.dtype)
+        return banded_conv(x, k3, bnd[0], bnd[1], w,
+                           exc=bnd[2]).astype(x.dtype)
     if zb is not None:
         return sparse_conv_factored(x, zb[0], zb[1], w)
     return sparse_conv(x, k3, w)
@@ -382,7 +383,7 @@ def backbone_forward(
             return None
         if training and level.k3.shape[0] > banded_train_max:
             return None
-        return (level.blo, level.bw0)
+        return (level.blo, level.bw0, getattr(level, "bexc", None))
 
     # stem at stride 1: strip gathers (k^2 column strips vs k^3 row
     # gathers), else factored two-stage when maps exist, else grouped scan
@@ -395,7 +396,8 @@ def backbone_forward(
             "build_pyramid(..., dilated_stem=True) or "
             "collate_scenes(..., dilated_stem=True)")
     if (use_banded and not training and cfg.conv1_kernel_size == 5
-            and getattr(lv[0], "sb_r0", None) is not None):
+            and getattr(lv[0], "sb_r0", None) is not None
+            and _os.environ.get("AGILE3D_STEM_BANDED", "1") != "0"):
         # banded Mosaic stem: 25 windowed one-hot strip gathers + in-kernel
         # compaction replace the XLA strips path's random-access gathers
         # and lane-padded selects (ops/banded_stem.py). Eval only — the

@@ -65,6 +65,11 @@ W_WIN = 4608
 # from kernel_maps.kernel_offsets(3): z fastest, so j // 9 - 1 = dx.
 # Measured spans (tools/probe_banded_kernel.py, 196k + 98k scenes):
 # dx=0 offsets max 160, dx=+-1 offsets max 555; +31 alignment slack.
+# Sized so typical indoor scenes have ZERO exceptions: a tighter profile
+# (160, 448; -27% one-hot FLOPs, 50 exceptions) measured SLOWER overall —
+# the 8 per-conv [N, C] scatter-adds cost more than the saved matmul time
+# (backbone 45.6 -> 73.6 ms). The exception list still protects wide-span
+# scenes (outdoor/KITTI) from losing the banded path entirely.
 _DX0_W = 224
 _DX1_W = 608
 
@@ -89,26 +94,37 @@ def _effective_window(n: int, sub_ws, w_win: int = W_WIN):
     return sub_ws, w_eff
 
 
+# Fixed capacity for out-of-band exception pairs (see banded_prep).
+EXC_CAP = 4096
+
+
 def banded_prep(nbr: np.ndarray, *, block_m: int = BLOCK_M,
-                w_win: int = W_WIN, sub_ws=None):
+                w_win: int = W_WIN, sub_ws=None, exc_cap: int = EXC_CAP):
     """Host-side window planning for one padded level.
+
+    Neighbors whose row falls outside their offset's static band (scene
+    corners mix xy-plane sizes) do NOT fail the scene: the kernel's
+    one-hot yields a zero row for them (mismatch == zero, never garbage)
+    and they come back as a fixed-capacity EXCEPTION list that
+    `banded_conv` corrects with one XLA gather + scatter-add. Only scenes
+    with more than `exc_cap` exceptions fall back to the scan conv.
 
     Args:
       nbr: int32 [Np, K] neighbor rows (-1 absent / pad), Np % block_m == 0.
     Returns:
-      (w0_t [nb] int32, lo_t [nb, Kpad] int32, ok bool) with starts in
-      32-row tile units, or (None, None, False) when the scene violates
-      the static band profile (caller falls back to the scan conv).
+      (w0_t [nb/SUB] int32, lo_t [nb, Kpad] int32, exc [exc_cap, 2]
+      (row, offset; -1 pad), ok bool) with starts in 32-row tile units, or
+      (None, None, None, False) on fallback.
     """
     n, k = nbr.shape
     if n % (block_m * SUB):
-        return None, None, False
+        return None, None, None, False
     if sub_ws is None:
         sub_ws = banded_widths(round(k ** (1 / 3)))
     # scenes smaller than the window DMA the whole array (w0 = 0)
     sub_ws, w_win = _effective_window(n, sub_ws, w_win)
     if w_win is None:
-        return None, None, False
+        return None, None, None, False
     sub_ws = np.asarray(sub_ws, np.int32)
     nb = n // block_m
     cells = nbr.reshape(nb, block_m, k)          # int32; rows < 2^24
@@ -130,14 +146,22 @@ def banded_prep(nbr: np.ndarray, *, block_m: int = BLOCK_M,
     lo = (lo // 32) * 32                                        # aligned
     lo = np.clip(np.minimum(lo, w_win - sub_ws[None, :]), 0, None)
     sub_rel = rel - lo[:, None, :]
-    ok = bool(np.all(np.where(present, (sub_rel >= 0)
-                              & (sub_rel < sub_ws[None, None, :]), True)))
-    if not ok:
-        return None, None, False
+    out_of_band = np.where(
+        present, (sub_rel < 0) | (sub_rel >= sub_ws[None, None, :]), False)
+    n_exc = int(out_of_band.sum())
+    if n_exc > exc_cap:
+        return None, None, None, False
+    if n_exc == 0:
+        exc = None   # no correction pass at all (pytree-keyed dispatch)
+    else:
+        exc = np.full((exc_cap, 2), -1, np.int32)
+        vb, vm, vj = np.nonzero(out_of_band)
+        exc[:n_exc, 0] = vb * block_m + vm                      # row
+        exc[:n_exc, 1] = vj                                     # offset
     kpad = ((k + 31) // 32) * 32
     lo_p = np.zeros((nb, kpad), np.int32)
     lo_p[:, :k] = lo // 32
-    return (w0 // 32).astype(np.int32), lo_p, True
+    return (w0 // 32).astype(np.int32), lo_p, exc, True
 
 
 @functools.lru_cache(maxsize=None)
@@ -373,7 +397,7 @@ def _interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def banded_conv(x, k3, lo_t, w0_t, w, sub_ws=None):
+def banded_conv(x, k3, lo_t, w0_t, w, exc=None, sub_ws=None):
     """Banded k3 conv: y[i] = sum_j x[k3[i, j]] @ w[j] (absent -> 0).
 
     Args:
@@ -381,6 +405,11 @@ def banded_conv(x, k3, lo_t, w0_t, w, sub_ws=None):
       k3: int32 [Np, K] neighbor rows (-1 absent).
       lo_t, w0_t: banded aux from `banded_prep` (tile units).
       w: [K, cin, cout] weights.
+      exc: int32 [EXC_CAP, 2] out-of-band (row, offset) pairs from
+        `banded_prep` (-1 pad); their one-hot rows are zero in the kernel
+        and this wrapper adds the true contribution with a gather +
+        scatter-add (plain XLA ops, so the custom VJP below composes with
+        autodiff naturally). None = trusted in-band everywhere.
     Returns [Np, cout] float32.
 
     Differentiable wrt x and w (custom VJP — dX via the stencil-transpose
@@ -401,4 +430,20 @@ def banded_conv(x, k3, lo_t, w0_t, w, sub_ws=None):
             "(banded_prep returns no aux for it)")
     fn = _make_vjp_conv(n, k, cin, cout, sub_ws, BLOCK_M, w_win,
                         _interpret_mode())
-    return fn(x, k3, lo_t, w0_t, w)
+    out = fn(x, k3, lo_t, w0_t, w)
+    if exc is None:   # scene had no out-of-band pairs (prep omits the list)
+        return out
+    exc = jnp.asarray(exc)
+    k3 = jnp.asarray(k3)
+    erow, eoff = exc[:, 0], exc[:, 1]
+    live = erow >= 0
+    ecell = k3[jnp.maximum(erow, 0), jnp.maximum(eoff, 0)]      # [E]
+    ev = jnp.where(live[:, None],
+                   x.astype(jnp.bfloat16)[jnp.maximum(ecell, 0)], 0)
+    ew = w[jnp.maximum(eoff, 0)]                                # [E, cin, C]
+    contrib = jnp.einsum(
+        "ec,eco->eo", ev.astype(jnp.float32),
+        ew.astype(jnp.bfloat16).astype(jnp.float32))
+    # prep emits exceptions in ascending row order
+    return out.at[jnp.where(live, erow, n)].add(
+        contrib, mode="drop", indices_are_sorted=True)

@@ -65,11 +65,11 @@ SEC = 16         # slab lanes per group section (15 used + 1 pad)
 NCHUNK = 4       # ceil(25 / 8) chunks of 8 sections
 
 # Per-group static band widths (multiples of 32), clustered by the group's
-# dx (groups enumerate dx-major: g // 5 = dx index 0..4). Measured on the
-# 185k-voxel bench scene (tools/probe_stem_spans.py): |dx|=0 spans <= 169,
-# dx=-2/-1 <= 416, dx=+1 <= 544, dx=+2 <= 1024; + margin. Scenes that
-# violate these get no aux from stem_banded_prep and fall back.
-_DX_W = (512, 512, 320, 640, 1152)
+# dx (groups enumerate dx-major: g // 5 = dx index 0..4). Sized for the
+# bulk of the span distribution (tools/probe_stem_spans.py); corner strips
+# go to the exception list (130/4.6M on the bench scene at this profile;
+# the cliff is one notch tighter at ~2.7k).
+_DX_W = (384, 352, 192, 512, 1024)
 
 
 def stem_widths() -> tuple:
@@ -137,8 +137,10 @@ def stem_banded_prep(k5: np.ndarray, *, block_m: int = BLOCK_M,
     n_exc = int(out_of_band.sum())
     if n_exc > exc_cap:
         return (None,) * 5 + (False,)
-    exc = np.full((exc_cap, 2), -1, np.int32)
-    if n_exc:
+    if n_exc == 0:
+        exc = None   # no correction pass at all (pytree-keyed dispatch)
+    else:
+        exc = np.full((exc_cap, 2), -1, np.int32)
         vb, vm, vg = np.nonzero(out_of_band)
         exc[:n_exc, 0] = vb * block_m + vm                  # row
         exc[:n_exc, 1] = vg                                 # group
@@ -353,7 +355,10 @@ def banded_stem_conv(x, sb_r0, sb_rank, sb_w0, sb_lo, sb_exc, k5, w):
     # Exception strips (out of their static band at scene corners) read a
     # zero one-hot row in the kernel; compute their true contribution with
     # a plain gather + scatter-add. sb_exc is a fixed [EXC_CAP, 2]
-    # (row, group) list, -1-padded, so shapes stay static.
+    # (row, group) list, -1-padded, so shapes stay static; None = the
+    # scene had no exceptions (prep omits the list entirely).
+    if sb_exc is None:
+        return out
     # jnp-coerce: callers may close over a numpy pyramid (constants in
     # the traced graph), and numpy fancy-indexing rejects traced indices
     sb_exc = jnp.asarray(sb_exc)
@@ -370,5 +375,6 @@ def banded_stem_conv(x, sb_r0, sb_rank, sb_w0, sb_lo, sb_exc, k5, w):
     contrib = jnp.einsum(
         "ejc,ejco->eo", ev.astype(jnp.float32),
         ew.astype(jnp.bfloat16).astype(jnp.float32))
+    # prep emits exceptions in ascending row order
     return out.at[jnp.where(live, erow, n)].add(
-        contrib, mode="drop", indices_are_sorted=False)
+        contrib, mode="drop", indices_are_sorted=True)

@@ -39,8 +39,9 @@ class PaddedLevel(NamedTuple):
     # (the backbone then routes this level's wide k3 convs through the
     # scan conv — jit keys on the pytree structure, so this is a per-scene
     # static dispatch, never a wrong result)
-    bw0: np.ndarray | None = None     # int32 [Np/128] window starts /32
+    bw0: np.ndarray | None = None     # int32 window starts /32
     blo: np.ndarray | None = None     # int32 [Np/128, Kpad] band starts /32
+    bexc: np.ndarray | None = None    # int32 [EXC_CAP, 2] out-of-band pairs
     # banded STEM aux (ops/banded_stem.stem_banded_prep) — finest level
     # only; None falls back to the XLA strips stem the same way
     sb_w0: np.ndarray | None = None   # int32 [Np/128] window starts /32
@@ -109,9 +110,9 @@ def pad_pyramid(
         # banded k3 aux for the two finest levels (where the wide-conv
         # gathers dominate the backbone; deeper levels are scan-cheap)
         if i < 2 and n >= 32768:
-            bw0, blo, ok = banded_prep(out[-1].k3)
+            bw0, blo, bexc, ok = banded_prep(out[-1].k3)
             if ok:
-                out[-1] = out[-1]._replace(bw0=bw0, blo=blo)
+                out[-1] = out[-1]._replace(bw0=bw0, blo=blo, bexc=bexc)
         # banded stem aux (finest level, kernel-5 stem only; the stem
         # kernel is eval-only, so training collation skips the prep)
         if stem_banded and i == 0 and out[-1].k5 is not None and n >= 32768:

@@ -37,7 +37,7 @@ def test_banded_matches_scan_and_zero_pads():
     lvl = _small_padded_k3()
     k3 = lvl.k3
     n = k3.shape[0]
-    w0_t, lo_t, ok = banded_prep(k3)
+    w0_t, lo_t, exc_t, ok = banded_prep(k3)
     assert ok
     rng = np.random.default_rng(0)
     cin = cout = 96
@@ -45,7 +45,7 @@ def test_banded_matches_scan_and_zero_pads():
     w = jnp.asarray(rng.standard_normal((27, cin, cout)).astype(np.float32)
                     * 0.1)
     got = banded_conv(x, jnp.asarray(k3), jnp.asarray(lo_t),
-                      jnp.asarray(w0_t), w)
+                      jnp.asarray(w0_t), w, exc=exc_t)
     ref = sparse_conv(x, jnp.asarray(k3), w)
     # kernel rounds activations to bf16 before the one-hot gather
     assert float(jnp.abs(got - ref).max()) < 0.05 * float(
@@ -62,7 +62,7 @@ def test_banded_grads_match_scan_conv():
     lvl = _small_padded_k3()
     k3 = lvl.k3
     n = k3.shape[0]
-    w0_t, lo_t, ok = banded_prep(k3)
+    w0_t, lo_t, exc_t, ok = banded_prep(k3)
     assert ok
     rng = np.random.default_rng(7)
     cin, cout = 96, 64
@@ -74,7 +74,8 @@ def test_banded_grads_match_scan_conv():
     k3_d, lo_d, w0_d = jnp.asarray(k3), jnp.asarray(lo_t), jnp.asarray(w0_t)
 
     def loss_banded(x, w):
-        return jnp.sum((banded_conv(x, k3_d, lo_d, w0_d, w) - tgt) ** 2)
+        return jnp.sum((banded_conv(x, k3_d, lo_d, w0_d, w,
+                                    exc=exc_t) - tgt) ** 2)
 
     def loss_scan(x, w):
         return jnp.sum((sparse_conv(x, k3_d, w) - tgt) ** 2)
@@ -97,7 +98,7 @@ def test_banded_grads_match_scan_conv():
 def test_banded_prep_invariants():
     lvl = _small_padded_k3()
     k3 = lvl.k3
-    w0_t, lo_t, ok = banded_prep(k3)
+    w0_t, lo_t, exc_t, ok = banded_prep(k3)
     assert ok
     n, k = k3.shape
     nb = n // BLOCK_M
@@ -121,10 +122,13 @@ def test_banded_prep_rejects_band_violations():
     rng = np.random.default_rng(1)
     nbr = rng.integers(0, n, (n, k)).astype(np.int32)
     nbr[0, 0], nbr[0, 1] = 0, n - 1   # span ~ n >> profile width
-    w0_t, lo_t, ok = banded_prep(nbr)
-    assert not ok and w0_t is None and lo_t is None
+    w0_t, lo_t, exc_t, ok = banded_prep(nbr)
+    # band-jumping neighbors now land on the exception list instead of
+    # failing the scene (unless they overflow the capacity)
+    assert ok == (exc_t is not None)
+    assert banded_prep(nbr, exc_cap=0)[-1] is False
     # unaligned row count is rejected, not mis-handled
-    assert banded_prep(np.zeros((BLOCK_M + 1, k), np.int32))[2] is False
+    assert banded_prep(np.zeros((BLOCK_M + 1, k), np.int32))[-1] is False
 
 
 def test_pad_pyramid_builds_banded_aux_only_when_big():

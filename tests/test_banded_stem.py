@@ -52,7 +52,8 @@ def test_stem_kernel_exact_and_pad_zero():
     w = rng.standard_normal((125, 3, 32)).astype(np.float32) * 0.1
     out = np.asarray(banded_stem_conv(
         jnp.asarray(x), jnp.asarray(r0), jnp.asarray(rank),
-        jnp.asarray(w0), jnp.asarray(lo), jnp.asarray(exc),
+        jnp.asarray(w0), jnp.asarray(lo),
+        None if exc is None else jnp.asarray(exc),
         jnp.asarray(lv.k5), jnp.asarray(w)))
     ref = _dense_ref(x, lv.k5, w)
     np.testing.assert_allclose(out, ref, atol=1e-4)

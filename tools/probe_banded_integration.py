@@ -34,7 +34,27 @@ import sys
 import numpy as np
 
 sys.path.insert(0, ".")
-from bench import fence, min_over_draws, SALT  # noqa: E402
+from bench import fence, SALT  # noqa: E402
+
+
+def min_over_draws(make_timed, label, draws=2):
+    """Legacy per-call timing harness (bench.py moved to the two-length
+    traced-trip-count form; this tool's variants measure per-call forms on
+    purpose, so it keeps the old protocol: make_timed(draw) -> timed())."""
+    import time
+
+    vals = []
+    for draw in range(draws):
+        timed = make_timed(draw)
+        t0 = time.time()
+        timed()
+        print(f"{label} draw {draw}: compile+first {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        reps = [timed() for _ in range(3)]
+        vals.append(float(np.median(reps)))
+        print(f"{label} draw {draw}: steady {vals[-1]:.2f} ms",
+              file=sys.stderr)
+    return min(vals)
 
 
 def main():

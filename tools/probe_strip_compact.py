@@ -107,28 +107,49 @@ def main():
             results["stem banded kernel"] = min_over_draws(
                 make_stemk, "stemk", 4, 32)
 
+    bb_variants = []
     if "bb" in which:
+        bb_variants.append(("backbone", None, "1"))
+    if "bb_nostem" in which:       # banded k3 on, stem kernel off (strips)
+        bb_variants.append(("backbone stem=strips", None, "0"))
+    if "bb_scan" in which:         # round-2 scan path (no Mosaic at all)
+        bb_variants.append(("backbone scan", False, "0"))
+    if bb_variants:
+        import dataclasses
+
         params, state = init_backbone(jax.random.PRNGKey(0),
                                       cfg.model.backbone)
 
-        def make_bb(draw):
-            eps = 1e-38 + (draw + 16 * SALT) * 1e-40
+        def make_bb_variant(bcfg, stem_env):
+            def make_bb(draw):
+                eps = 1e-38 + (draw + 16 * SALT) * 1e-40
+                os.environ["AGILE3D_STEM_BANDED"] = stem_env
 
-            @jax.jit
-            def loop(params, state, pyr, x, n):
-                def body(_, f):
-                    fm, _ = backbone_forward(params, state, pyr, f,
-                                             training=False,
-                                             cfg=cfg.model.backbone)
-                    return f * (1.0 + jnp.sum(fm[-1].astype(jnp.float32))
-                                * eps)
+                @jax.jit
+                def loop(params, state, pyr, x, n):
+                    def body(_, f):
+                        fm, _ = backbone_forward(params, state, pyr, f,
+                                                 training=False, cfg=bcfg)
+                        return f * (1.0
+                                    + jnp.sum(fm[-1].astype(jnp.float32))
+                                    * eps)
 
-                f = jax.lax.fori_loop(0, n, body, x)
-                return jnp.sum(f) * eps
+                    f = jax.lax.fori_loop(0, n, body, x)
+                    return jnp.sum(f) * eps
 
-            return loop, (params, state, pyr, x)
+                return loop, (params, state, pyr, x)
 
-        results["backbone"] = min_over_draws(make_bb, "backbone", 4, 32)
+            return make_bb
+
+        for label, banded, stem_env in bb_variants:
+            bcfg = (cfg.model.backbone if banded is None else
+                    dataclasses.replace(cfg.model.backbone,
+                                        banded_conv=banded))
+            # env must be set during TRACING (the stem route is a Python
+            # branch); make_bb sets it per draw before tracing
+            results[label] = min_over_draws(
+                make_bb_variant(bcfg, stem_env), label, 16, 128)
+        os.environ.pop("AGILE3D_STEM_BANDED", None)
 
     print("\n=== summary (dispatch-extrapolated T, min over draws) ===")
     for k, v in results.items():
