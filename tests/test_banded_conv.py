@@ -148,3 +148,29 @@ def test_pad_pyramid_builds_banded_aux_only_when_big():
     # deeper levels never carry aux
     for lv in pyr.levels[2:]:
         assert lv.blo is None
+
+
+def test_exception_pairs_corrected():
+    """Force tiny band widths so neighbors go out of band; the exception
+    gather + scatter-add must restore exactness (same contract as the
+    stem kernel's exception list)."""
+    lvl = _small_padded_k3()
+    k3 = lvl.k3
+    n = k3.shape[0]
+    tight = tuple(64 for _ in range(27))
+    # cap sized to the scene (the correction arrays scale with it)
+    w0_t, lo_t, exc_t, ok = banded_prep(k3, sub_ws=tight, exc_cap=60_000)
+    if not ok:
+        pytest.skip("tight profile unplannable on this scene")
+    assert exc_t is not None and int((exc_t[:, 0] >= 0).sum()) > 0
+    rng = np.random.default_rng(0)
+    cin = cout = 96
+    x = jnp.asarray(rng.standard_normal((n, cin)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((27, cin, cout)).astype(np.float32) * 0.1)
+    got = banded_conv(x, jnp.asarray(k3), jnp.asarray(lo_t),
+                      jnp.asarray(w0_t), w, exc=jnp.asarray(exc_t),
+                      sub_ws=tight)
+    ref = sparse_conv(x, jnp.asarray(k3), w)
+    assert float(jnp.abs(got - ref).max()) < 0.05 * float(
+        jnp.abs(ref).max() + 1.0)
