@@ -189,7 +189,11 @@ def main():
         return loop, (params, buffers, bn_state, pyr, feats_dev, raw_dev,
                       si_dev)
 
-    bb_ms = min_over_draws(make_backbone_loop, "backbone", 4, 32, bb_stats)
+    # N2 must keep the B/N2 dispatch tail well under T, or tunnel-load
+    # drift in B between the two lengths dominates the subtraction
+    # (measured: identical t(32) across runs but t(4) swinging the
+    # extrapolated T by +-15 ms). B ~ 2.7 s here -> B/128 ~ 21 ms.
+    bb_ms = min_over_draws(make_backbone_loop, "backbone", 16, 128, bb_stats)
     print(f"backbone per-dispatch overhead (tunnel artifact, extrapolated "
           f"out): ~{bb_stats.get('B_ms', float('nan')):.0f} ms",
           file=sys.stderr)
