@@ -166,7 +166,8 @@ def banded_prep(nbr: np.ndarray, *, block_m: int = BLOCK_M,
 
 @functools.lru_cache(maxsize=None)
 def _make_kernel(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
-                 block_m: int, w_win: int, interpret: bool):
+                 block_m: int, w_win: int, interpret: bool,
+                 slab: bool = False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -199,6 +200,7 @@ def _make_kernel(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
         for sb in range(SUB):            # 128-row sub-blocks, own bands
             nbrs = nbr_ref[sb * block_m:(sb + 1) * block_m, :]
             acc = jnp.zeros((block_m, cout), jnp.float32)
+            gs = []
             for j in range(k):
                 lo = lo_ref[jax.lax.rem(i, 8) * SUB + sb, j] * 32
                 rel = nbrs[:, j] - w0 - lo                  # [BM]
@@ -208,8 +210,17 @@ def _make_kernel(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
                 onehot = (rel[:, None] == col).astype(jnp.bfloat16)
                 gathered = jnp.dot(onehot, sub,
                                    preferred_element_type=jnp.float32)
-                acc = acc + jnp.dot(gathered.astype(jnp.bfloat16), w_ref[j],
-                                    preferred_element_type=jnp.float32)
+                if slab:
+                    # collect; one [BM, k*cin_p] contraction below (27
+                    # fewer small matmuls + f32 accumulate adds per block)
+                    gs.append(gathered.astype(jnp.bfloat16))
+                else:
+                    acc = acc + jnp.dot(gathered.astype(jnp.bfloat16),
+                                        w_ref[j],
+                                        preferred_element_type=jnp.float32)
+            if slab:
+                acc = jnp.dot(jnp.concatenate(gs, axis=1), w_ref[:],
+                              preferred_element_type=jnp.float32)
             out_ref[sb * block_m:(sb + 1) * block_m, :] = acc
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -245,6 +256,8 @@ def _make_kernel(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
         xp = jnp.pad(x.astype(jnp.bfloat16), ((0, 0), (0, cin_p - cin)))
         wp = jnp.pad(wt.astype(jnp.bfloat16),
                      ((0, 0), (0, cin_p - cin), (0, 0)))
+        if slab:
+            wp = wp.reshape(k * cin_p, cout)
         return call(w0_t, xp, k3p, lo_t, wp)
 
     return conv
@@ -361,8 +374,9 @@ def _make_vjp_conv(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
     import jax
     import jax.numpy as jnp
 
+    slab = os.environ.get("AGILE3D_BANDED_SLAB", "0") == "1"
     fwd_fn = _make_kernel(n, k, cin, cout, sub_ws, block_m, w_win,
-                          interpret)
+                          interpret, slab=slab)
     # channel dims swap for the dX pass (gathers grads: cout -> cin)
     dx_fn = _make_kernel(n, k, cout, cin, sub_ws, block_m, w_win,
                          interpret)
