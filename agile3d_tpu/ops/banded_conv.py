@@ -374,7 +374,11 @@ def _make_vjp_conv(n: int, k: int, cin: int, cout: int, sub_ws: tuple,
     import jax
     import jax.numpy as jnp
 
-    slab = os.environ.get("AGILE3D_BANDED_SLAB", "0") == "1"
+    # Slab contraction default ON: one [BM, 27*cin_p] matmul replaces 27
+    # small weight matmuls + f32 adds per block. Same math; min-t(128)
+    # measured 82.7 vs 94.6 ms for the full backbone (PERF.md; the
+    # extrapolated-T draws were too noisy that session to quote).
+    slab = os.environ.get("AGILE3D_BANDED_SLAB", "1") == "1"
     fwd_fn = _make_kernel(n, k, cin, cout, sub_ws, block_m, w_win,
                           interpret, slab=slab)
     # channel dims swap for the dX pass (gathers grads: cout -> cin)
