@@ -227,7 +227,7 @@ def main():
     pred_single = fm_pred(params, buffers, scene, cs, num_obj_dev)
     mem = device_memory_stats()
     print(f"forward_mask at {n_valid} voxels: {per_click:.1f} ms/click "
-          f"(min over {len(per_draw)} compiles); HBM peak "
+          f"(min over independent compiles); HBM peak "
           f"{mem.get('peak_bytes_in_use', 0)/2**30:.2f} GiB", flush=True)
 
     if args.sp > 1:
