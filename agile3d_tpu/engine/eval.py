@@ -109,10 +109,24 @@ class InteractiveEngine:
     def device_batch(self, batch: SceneBatch):
         """Device-resident (pyramid, feats, raw, sample_idx) for a batch,
         cached so the ~100 MB of kernel maps upload once per batch, not once
-        per model call."""
+        per model call.
+
+        When the banded Mosaic stem will serve this batch (the routing
+        decision is mirrored from models/backbone.stem_banded_active), the
+        padded k5 map is dropped from the transfer — exception strips carry
+        their own cell rows (stem_banded_prep), so the only consumer of k5
+        on device is the strips/scan fallback the banded path replaces.
+        At the 1M-voxel bucket that is ~500 MB of HBM + upload saved."""
         if self._dev_cache_key is not batch:
+            from agile3d_tpu.models.backbone import stem_banded_active
+
+            pyr = batch.pyramid
+            if stem_banded_active(self.cfg.model.backbone, pyr.levels[0],
+                                  training=False):
+                pyr = pyr._replace(levels=(
+                    pyr.levels[0]._replace(k5=None),) + pyr.levels[1:])
             self._dev_cache = jax.device_put(
-                (batch.pyramid, jnp.asarray(batch.feats),
+                (pyr, jnp.asarray(batch.feats),
                  jnp.asarray(batch.raw), jnp.asarray(batch.sample_idx)))
             self._dev_cache_key = batch
         return self._dev_cache

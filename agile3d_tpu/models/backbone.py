@@ -227,6 +227,21 @@ def _strips_wins(k: int, cin: int) -> bool:
     return k * cin * itemsize <= 512
 
 
+def stem_banded_active(cfg, level0, training: bool) -> bool:
+    """True when the eval stem will route through the banded Mosaic kernel
+    (ops/banded_stem.py) for this level. The SINGLE source of truth for
+    that routing decision — engine/eval.device_batch keys the k5 transfer
+    drop on it, so the two must never drift."""
+    import os as _os
+
+    use_banded = cfg.banded_conv
+    if use_banded is None:
+        use_banded = jax.default_backend() == "tpu"
+    return (use_banded and not training and cfg.conv1_kernel_size == 5
+            and getattr(level0, "sb_r0", None) is not None
+            and _os.environ.get("AGILE3D_STEM_BANDED", "1") != "0")
+
+
 def _conv3(x, k3, zb, w, strips=False, bnd=None):
     """k3 conv: packed-strip gathers where they win (strips=True and narrow
     C_in), the banded Mosaic kernel for wide channels when the level carries
@@ -395,9 +410,7 @@ def backbone_forward(
             "dilated window maps — build it with "
             "build_pyramid(..., dilated_stem=True) or "
             "collate_scenes(..., dilated_stem=True)")
-    if (use_banded and not training and cfg.conv1_kernel_size == 5
-            and getattr(lv[0], "sb_r0", None) is not None
-            and _os.environ.get("AGILE3D_STEM_BANDED", "1") != "0"):
+    if stem_banded_active(cfg, lv[0], training):
         # banded Mosaic stem: 25 windowed one-hot strip gathers + in-kernel
         # compaction replace the XLA strips path's random-access gathers
         # and lane-padded selects (ops/banded_stem.py). Eval only — the
@@ -407,7 +420,7 @@ def backbone_forward(
 
         out = banded_stem_conv(feats, lv[0].sb_r0, lv[0].sb_rank,
                                lv[0].sb_w0, lv[0].sb_lo, lv[0].sb_exc,
-                               lv[0].k5, stem_w).astype(feats.dtype)
+                               stem_w).astype(feats.dtype)
     elif (cfg.strip_conv and cfg.stem_zdilated
             and getattr(lv[0], "zd_q0", None) is not None
             and _strips_wins(cfg.conv1_kernel_size, cfg.in_channels)):

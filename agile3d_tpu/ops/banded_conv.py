@@ -126,6 +126,19 @@ def banded_prep(nbr: np.ndarray, *, block_m: int = BLOCK_M,
     if w_win is None:
         return None, None, None, False
     sub_ws = np.asarray(sub_ws, np.int32)
+
+    # C++ fast path (sparse/csrc agile3d_band_plan): one streaming pass vs
+    # the ~6 full [n, k] numpy intermediates below — the numpy version is
+    # kept as the tested fallback (bit-identical, tests/test_native_prep.py)
+    from agile3d_tpu.sparse.native import native_band_plan
+
+    nat = native_band_plan(nbr, block_m, SUB, w_win, sub_ws, exc_cap)
+    if nat is not None and nat[3] >= 0:
+        w0_t, lo_p, exc, n_exc = nat
+        if n_exc > exc_cap:
+            return None, None, None, False
+        return w0_t, lo_p, (exc if n_exc else None), True
+
     nb = n // block_m
     cells = nbr.reshape(nb, block_m, k)          # int32; rows < 2^24
     present = cells >= 0

@@ -98,8 +98,10 @@ def stem_banded_prep(k5: np.ndarray, *, block_m: int = BLOCK_M,
           dz fastest.
     Returns:
       (w0_t [nb], lo_t [nb, 32], r0 [Np, 32], rank [Np, 512],
-       exc [exc_cap, 2] (row, group; -1 pad), ok) with window/band starts
-      in 32-row tile units, or Nones + False on fallback.
+       exc [exc_cap, 2+K] (row, group, cell rows; -1 pad), ok) with
+      window/band starts in 32-row tile units, or Nones + False on
+      fallback. The exception rows carry their K cell rows so the
+      correction pass needs no full k5 map on device.
     """
     n, kk = k5.shape
     if kk != NG * K or n % (block_m * SUB):
@@ -108,6 +110,21 @@ def stem_banded_prep(k5: np.ndarray, *, block_m: int = BLOCK_M,
     w_eff = min(w_win, n)
     if w_eff < int(sub_ws.max()):
         return (None,) * 5 + (False,)
+
+    # C++ fast path (sparse/csrc agile3d_stem_prep): single streaming pass;
+    # the numpy version below (the dominant host cost at KITTI scale —
+    # ~26 s at a 1M-row padded level on this 1-core box) is kept as the
+    # tested fallback (bit-identical, tests/test_native_prep.py).
+    from agile3d_tpu.sparse.native import native_stem_prep
+
+    nat = native_stem_prep(k5, NG, K, block_m, SUB, w_eff, sub_ws, exc_cap)
+    if nat is not None and nat[5] != -1:
+        w0_t, lo_p, r0_p, rank_p, exc, n_exc = nat
+        if n_exc == -2 or n_exc > exc_cap:  # -2: non-consecutive strip
+            return (None,) * 5 + (False,)
+        return w0_t, lo_p, r0_p, rank_p.reshape(n, NCHUNK * 8 * SEC), \
+            (exc if n_exc else None), True
+
     nb = n // block_m
     cells = k5.reshape(n, NG, K)                            # int32 view
     present = cells >= 0
@@ -140,10 +157,15 @@ def stem_banded_prep(k5: np.ndarray, *, block_m: int = BLOCK_M,
     if n_exc == 0:
         exc = None   # no correction pass at all (pytree-keyed dispatch)
     else:
-        exc = np.full((exc_cap, 2), -1, np.int32)
+        exc = np.full((exc_cap, 2 + K), -1, np.int32)
         vb, vm, vg = np.nonzero(out_of_band)
-        exc[:n_exc, 0] = vb * block_m + vm                  # row
+        rows = vb * block_m + vm
+        exc[:n_exc, 0] = rows
         exc[:n_exc, 1] = vg                                 # group
+        # the strip's K cell rows ride along so the conv's correction pass
+        # never needs the full [n, 125] map on device (k5 is droppable
+        # from the eval transfer — engine/eval.device_batch)
+        exc[:n_exc, 2:] = k5.reshape(n, NG, K)[rows, vg]
 
     lo_p = np.zeros((nb, 32), np.int32)
     lo_p[:, :NG] = lo // 32
@@ -324,14 +346,16 @@ def _pack_weights(w, cout_p):
     return wc.astype(jnp.bfloat16)
 
 
-def banded_stem_conv(x, sb_r0, sb_rank, sb_w0, sb_lo, sb_exc, k5, w):
+def banded_stem_conv(x, sb_r0, sb_rank, sb_w0, sb_lo, sb_exc, w):
     """Banded k5 stem conv: y[i] = sum_j x[k5[i, j]] @ w[j] (absent -> 0).
 
     Args:
       x: [Np, 3] features (any float dtype; computed in bf16/f32-accum —
          matches the XLA strips path, whose packed gathers are bf16 too).
-      sb_*: aux from `stem_banded_prep` (device arrays).
-      k5: int32 [Np, 125] cell map — used only for the exception strips.
+      sb_*: aux from `stem_banded_prep` (device arrays); sb_exc rows carry
+         their own cell rows (cols 2:), so no k5 map is needed — the eval
+         engine drops the ~500 MB padded k5 from the device transfer when
+         this path is active (engine/eval.device_batch).
       w: [125, 3, cout] weights (dx-major offsets, dz fastest).
     Returns [Np, cout] float32.
     """
@@ -362,12 +386,9 @@ def banded_stem_conv(x, sb_r0, sb_rank, sb_w0, sb_lo, sb_exc, k5, w):
     # jnp-coerce: callers may close over a numpy pyramid (constants in
     # the traced graph), and numpy fancy-indexing rejects traced indices
     sb_exc = jnp.asarray(sb_exc)
-    k5 = jnp.asarray(k5)
     erow, egrp = sb_exc[:, 0], sb_exc[:, 1]
     live = erow >= 0
-    cells = k5[jnp.maximum(erow, 0)]                        # [E, 125]
-    base = jnp.maximum(egrp, 0)[:, None] * K + jnp.arange(K)[None, :]
-    ecell = jnp.take_along_axis(cells, base, axis=1)        # [E, K]
+    ecell = sb_exc[:, 2:]                                   # [E, K]
     ev = jnp.where((ecell >= 0)[..., None] & live[:, None, None],
                    xb[jnp.maximum(ecell, 0)], 0)            # [E, K, cin]
     ew = w.reshape(NG, K, cin, cout)[jnp.maximum(egrp, 0)]  # [E, K, cin, C]

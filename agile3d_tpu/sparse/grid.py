@@ -48,7 +48,9 @@ class PaddedLevel(NamedTuple):
     sb_lo: np.ndarray | None = None   # int32 [Np/128, 32] band starts /32
     sb_r0: np.ndarray | None = None   # int32 [Np, 32] strip-start rows
     sb_rank: np.ndarray | None = None  # int8 [Np, 512] per-lane cell rank
-    sb_exc: np.ndarray | None = None  # int32 [EXC_CAP, 2] out-of-band strips
+    sb_exc: np.ndarray | None = None  # int32 [EXC_CAP, 2+K] out-of-band
+    #   strips as (row, group, cell rows) — self-contained so the eval
+    #   transfer can drop k5 when the banded stem serves the scene
 
 
 class PaddedPyramid(NamedTuple):

@@ -52,6 +52,14 @@ def get_lib():
         lib.agile3d_stride_down.restype = i64
         lib.agile3d_stride_down.argtypes = [i32p, i32p, i64, i32p, i32p,
                                             i32p, i32p, i32p]
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+        lib.agile3d_band_plan.restype = i64
+        lib.agile3d_band_plan.argtypes = [i32p, i64, i64, i64, i64, i64,
+                                          i32p, i64, i64, i32p, i32p, i32p]
+        lib.agile3d_stem_prep.restype = i64
+        lib.agile3d_stem_prep.argtypes = [i32p, i64, i64, i64, i64, i64,
+                                          i64, i32p, i64, i32p, i32p, i32p,
+                                          i8p, i32p]
         _lib = lib
     except (subprocess.CalledProcessError, OSError) as e:  # pragma: no cover
         import warnings
@@ -89,6 +97,50 @@ def native_neighbor_map(grid, batch, offsets):
     if lib.agile3d_neighbor_map(grid, batch, n, offsets, k, out) < 0:
         raise ValueError("coordinates out of packable range +-262144")
     return out
+
+
+def native_band_plan(nbr, block_m, sub, w_eff, sub_ws, exc_cap):
+    """C++ band planning (ops/banded_conv.banded_prep fast path).
+
+    Returns (w0_t, lo_p, exc, n_exc) or None when the native library is
+    unavailable. n_exc is the TOTAL count (may exceed exc_cap) or a
+    negative error code; the caller applies the same fallback rules as the
+    numpy path."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    nbr = np.ascontiguousarray(nbr, np.int32)
+    sub_ws = np.ascontiguousarray(sub_ws, np.int32)
+    n, k = nbr.shape
+    kpad = ((k + 31) // 32) * 32
+    w0_t = np.empty(n // (block_m * sub), np.int32)
+    lo_p = np.empty((n // block_m, kpad), np.int32)
+    exc = np.empty((exc_cap, 2), np.int32)
+    n_exc = lib.agile3d_band_plan(nbr, n, k, block_m, sub, w_eff, sub_ws,
+                                  kpad, exc_cap, w0_t, lo_p, exc)
+    return w0_t, lo_p, exc, int(n_exc)
+
+
+def native_stem_prep(k5, ng, kz, block_m, sub, w_eff, sub_ws, exc_cap):
+    """C++ strip/band planning (ops/banded_stem.stem_banded_prep fast
+    path). Returns (w0_t, lo_p, r0_p, rank_p, exc, n_exc) or None when the
+    native library is unavailable; n_exc semantics as native_band_plan
+    (-2 = non-consecutive strip, like numpy's rank >= K check)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    k5 = np.ascontiguousarray(k5, np.int32)
+    sub_ws = np.ascontiguousarray(sub_ws, np.int32)
+    n = k5.shape[0]
+    w0_t = np.empty(n // (block_m * sub), np.int32)
+    lo_p = np.empty((n // block_m, 32), np.int32)
+    r0_p = np.empty((n, 32), np.int32)
+    rank_p = np.empty((n, 32 * 16), np.int8)
+    exc = np.empty((exc_cap, 2 + kz), np.int32)
+    n_exc = lib.agile3d_stem_prep(k5, n, ng, kz, block_m, sub, w_eff,
+                                  sub_ws, exc_cap, w0_t, lo_p, r0_p,
+                                  rank_p, exc)
+    return w0_t, lo_p, r0_p, rank_p, exc, int(n_exc)
 
 
 def native_stride_down(grid, batch):

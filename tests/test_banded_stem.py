@@ -54,7 +54,7 @@ def test_stem_kernel_exact_and_pad_zero():
         jnp.asarray(x), jnp.asarray(r0), jnp.asarray(rank),
         jnp.asarray(w0), jnp.asarray(lo),
         None if exc is None else jnp.asarray(exc),
-        jnp.asarray(lv.k5), jnp.asarray(w)))
+        jnp.asarray(w)))
     ref = _dense_ref(x, lv.k5, w)
     np.testing.assert_allclose(out, ref, atol=1e-4)
     assert np.abs(out[lv.num_valid:]).max() == 0.0  # zero-pad invariant
@@ -127,8 +127,50 @@ def test_exception_strips_corrected():
         out = np.asarray(banded_stem_conv(
             jnp.asarray(x), jnp.asarray(r0), jnp.asarray(rank),
             jnp.asarray(w0), jnp.asarray(lo), jnp.asarray(exc),
-            jnp.asarray(lv.k5), jnp.asarray(w)))
+            jnp.asarray(w)))
     finally:
         bs._DX_W = orig
     ref = _dense_ref(x, lv.k5, w)
     np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_eval_transfer_drops_k5_iff_banded_active():
+    """engine/eval.device_batch must ship the padded k5 map ONLY when the
+    banded stem will not serve the batch (the exception strips carry their
+    own cell rows, so the kernel path has no k5 consumer on device)."""
+    import dataclasses
+
+    from agile3d_tpu.data.datasets import SceneSample, collate_scenes
+    from agile3d_tpu.engine.eval import InteractiveEngine
+    from agile3d_tpu.models.backbone import stem_banded_active
+    from agile3d_tpu.sparse.quantize import sparse_quantize
+
+    cfg = Config()
+    rng = np.random.default_rng(5)
+    coords, colors, labels = make_scene(rng, n_points=40000, num_obj=4)
+    vox, umap, imap = sparse_quantize(coords, cfg.model.voxel_size)
+    sample = SceneSample(
+        vox_coords=vox, raw_coords=coords[umap],
+        feats=colors[umap].astype(np.float32) / 255.0,
+        labels=labels[umap].astype(np.int32),
+        labels_full=labels.astype(np.int32), inverse_map=imap,
+        click_idx={}, scene_name="t", num_obj=4)
+    batch = collate_scenes([sample], cfg.buckets)
+    assert batch.pyramid.levels[0].sb_r0 is not None
+
+    def with_banded(flag):
+        return dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, backbone=dataclasses.replace(
+                cfg.model.backbone, banded_conv=flag)))
+
+    # forced ON (CPU backend would otherwise disable it)
+    cfg_on = with_banded(True)
+    assert stem_banded_active(cfg_on.model.backbone,
+                              batch.pyramid.levels[0], False)
+    pyr_d, *_ = InteractiveEngine(cfg_on).device_batch(batch)
+    assert pyr_d.levels[0].k5 is None
+    assert pyr_d.levels[0].sb_r0 is not None
+
+    # forced OFF: the strips/scan stem needs k5 -> it must ship
+    pyr_d, *_ = InteractiveEngine(with_banded(False)).device_batch(batch)
+    assert pyr_d.levels[0].k5 is not None

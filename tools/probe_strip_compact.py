@@ -94,15 +94,15 @@ def main():
                 eps = 1e-38 + (draw + 16 * SALT) * 1e-40
 
                 @jax.jit
-                def loop(x, aux, k5, w, n):
+                def loop(x, aux, w, n):
                     def body(_, f):
-                        out = banded_stem_conv(f, *aux, k5, w)
+                        out = banded_stem_conv(f, *aux, w)
                         return f * (1.0 + jnp.sum(out) * eps)
 
                     f = jax.lax.fori_loop(0, n, body, x)
                     return jnp.sum(f) * eps
 
-                return loop, (x, aux, k5, w)
+                return loop, (x, aux, w)
 
             results["stem banded kernel"] = min_over_draws(
                 make_stemk, "stemk", 4, 32)
