@@ -17,7 +17,9 @@ def main(batch_size=5, n_points=150000):
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    from agile3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # TPU only; CPU AOT cache is host-unsafe
 
     from agile3d_tpu.config import Config, TrainConfig
     from agile3d_tpu.data.datasets import SceneSample, collate_scenes

@@ -13,7 +13,10 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: repeated suite runs skip XLA recompiles
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NO persistent compilation cache here: XLA:CPU caches AOT executables
+# keyed WITHOUT the host's CPU features, so a .jax_cache written by a
+# previous run on a different x86 host replays binaries with unsupported
+# instructions (cpu_aot_loader feature-mismatch error -> SIGILL/abort;
+# observed in this repo when the build box changed between sessions).
+# utils/cache.enable_compilation_cache refuses CPU backends for the same
+# reason — the cache exists for the minutes-long TPU compiles only.

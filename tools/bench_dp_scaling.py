@@ -31,9 +31,8 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir", os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".jax_cache"))
+    # no persistent cache on CPU: XLA:CPU AOT entries are keyed without
+    # host CPU features and abort on load after a host change (conftest.py)
 
     from agile3d_tpu.config import BackboneConfig, Config, ModelConfig, TrainConfig
     from agile3d_tpu.data.datasets import SceneSample

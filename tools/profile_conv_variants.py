@@ -19,8 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", ".jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+from agile3d_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()  # TPU only; CPU AOT cache is host-unsafe
 
 from agile3d_tpu.config import Config
 from agile3d_tpu.ops.sparse_conv import sparse_conv

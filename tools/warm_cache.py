@@ -35,6 +35,12 @@ def main():
 
     import jax
 
+    if jax.default_backend() == "cpu":
+        # XLA:CPU AOT cache entries are keyed without host CPU features and
+        # abort on load after a host change (utils/cache.py) — and warming
+        # the TPU bucket ladder on CPU is pointless anyway.
+        raise SystemExit("warm_cache targets the TPU compile cache; "
+                         "refusing to run on the CPU backend")
     jax.config.update("jax_compilation_cache_dir", args.cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
