@@ -48,6 +48,12 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="run on an 8-virtual-device CPU mesh (for --sp "
                          "correctness runs without a TPU pod)")
+    ap.add_argument("--sp_only", action="store_true",
+                    help="skip the single-chip timing loops entirely (one "
+                         "reference forward_mask call for the agreement "
+                         "check only) — for CPU-mesh SP correctness runs "
+                         "at >= 1.5M voxels where CPU timing is both "
+                         "meaningless and minutes per iteration")
     args = ap.parse_args()
 
     if args.cpu:
@@ -199,6 +205,8 @@ def main():
     # gives each draw a fresh cache key).
     from bench import min_over_draws
 
+    per_click = float("nan")
+
     def make_fm_loop(draw):
         eps = 1e-38 + draw * 1e-40
 
@@ -215,8 +223,9 @@ def main():
 
         return loop, (params, buffers, scene, cs, num_obj_dev)
 
-    per_click = min_over_draws(make_fm_loop, "forward_mask",
-                               5, 20 if args.quick else 50)
+    if not args.sp_only:
+        per_click = min_over_draws(make_fm_loop, "forward_mask",
+                                   5, 20 if args.quick else 50)
 
     @jax.jit
     def fm_pred(params, buffers, scene, cs, num_obj):
