@@ -234,10 +234,11 @@ def evaluate_scene(
                     out["all_masks"], scene, jnp.asarray(labels_pad[None]),
                     cs)
                 from agile3d_tpu.models.criterion import (
-                    loss_weight_dict, total_loss)
+                    loss_weight_dict, model_num_aux_rounds, total_loss)
 
                 wd = loss_weight_dict(
-                    cfg.loss, num_aux_rounds=cfg.model.num_decoders - 1)
+                    cfg.loss,
+                    num_aux_rounds=model_num_aux_rounds(cfg.model))
                 loss_meter.update(
                     loss=float(total_loss(losses, wd)),
                     loss_bce=float(losses["loss_bce"]),

@@ -31,6 +31,7 @@ from agile3d_tpu.models.criterion import (
     click_loss_weights,
     criterion_forward,
     loss_weight_dict,
+    model_num_aux_rounds,
     total_loss,
 )
 from agile3d_tpu.utils.misc import MetricLogger
@@ -53,7 +54,7 @@ def make_optimizer(cfg: Config, steps_per_epoch: int):
 
 def make_train_step(cfg: Config, tx):
     wd = loss_weight_dict(
-        cfg.loss, num_aux_rounds=cfg.model.num_decoders * len(cfg.model.hlevels) - 1)
+        cfg.loss, num_aux_rounds=model_num_aux_rounds(cfg.model))
 
     @jax.jit
     def train_step(params, buffers, bn_state, opt_state, pyr, feats, raw,

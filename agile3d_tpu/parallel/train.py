@@ -26,6 +26,7 @@ from agile3d_tpu.models.criterion import (
     click_loss_weights,
     criterion_forward,
     loss_weight_dict,
+    model_num_aux_rounds,
     total_loss,
 )
 from agile3d_tpu.sparse import build_pyramid
@@ -112,8 +113,7 @@ def make_dp_train_step(cfg: Config, tx, mesh: Mesh):
     from agile3d_tpu.engine.train import _per_sample_iou
 
     wd = loss_weight_dict(
-        cfg.loss,
-        num_aux_rounds=cfg.model.num_decoders * len(cfg.model.hlevels) - 1)
+        cfg.loss, num_aux_rounds=model_num_aux_rounds(cfg.model))
     dp_spec = NamedSharding(mesh, P("dp"))
     rep_spec = NamedSharding(mesh, P())
 

@@ -49,12 +49,17 @@ def main():
                     help="run on an 8-virtual-device CPU mesh (for --sp "
                          "correctness runs without a TPU pod)")
     ap.add_argument("--sp_only", action="store_true",
-                    help="skip the single-chip timing loops entirely (one "
-                         "reference forward_mask call for the agreement "
-                         "check only) — for CPU-mesh SP correctness runs "
-                         "at >= 1.5M voxels where CPU timing is both "
-                         "meaningless and minutes per iteration")
+                    help="skip every single-chip timing loop (backbone "
+                         "and forward_mask; one reference forward_mask "
+                         "call remains for the SP agreement check) — for "
+                         "CPU-mesh SP correctness runs at >= 1.5M voxels "
+                         "where CPU timing is both meaningless and "
+                         "minutes per iteration; requires --sp > 1")
     args = ap.parse_args()
+    if args.sp_only and args.sp <= 1:
+        ap.error("--sp_only times nothing and checks nothing without an SP "
+                 "branch; pass --sp > 1 (it exists only to make CPU-mesh SP "
+                 "agreement runs affordable)")
 
     if args.cpu:
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
@@ -152,7 +157,7 @@ def main():
     print(f"backbone compile+first: {t_bb_cold:.1f}s; {hbm_note}",
           flush=True)
 
-    if not args.skip_backbone:
+    if not args.skip_backbone and not args.sp_only:
         # steady-state backbone via the dispatch-overhead extrapolation
         # (PERF.md round 3): every fenced dispatch pays ~seconds of
         # executable-size-proportional tunnel overhead, so the loop runs
@@ -235,8 +240,9 @@ def main():
 
     pred_single = fm_pred(params, buffers, scene, cs, num_obj_dev)
     mem = device_memory_stats()
-    print(f"forward_mask at {n_valid} voxels: {per_click:.1f} ms/click "
-          f"(min over independent compiles); HBM peak "
+    timing = ("timing skipped (--sp_only)" if args.sp_only
+              else f"{per_click:.1f} ms/click (min over independent compiles)")
+    print(f"forward_mask at {n_valid} voxels: {timing}; HBM peak "
           f"{mem.get('peak_bytes_in_use', 0)/2**30:.2f} GiB", flush=True)
 
     if args.sp > 1:
