@@ -10,9 +10,13 @@ args} every epoch (reference main.py:190-202) and releases
   * ``convert_torch_state_dict`` — maps the reference's state_dict names
     onto the jax param/buffer/bn-state trees (torch [out,in] Linears are
     transposed; packed MHA in_proj is split; ME conv kernels keep their
-    [K, in, out] layout modulo the kernel-offset enumeration permutation,
-    configurable via ``kernel_perm`` until verified against the released
-    checkpoint).
+    [K, in, out] layout modulo the kernel-offset enumeration permutation;
+    the default table is verified against two independent derivations of
+    ME's region-iterator semantics — the analytic digit-reversal
+    (sparse/kernel_maps.me_kernel_perm) and a literal simulation of ME's
+    C++ iterator (tests/test_kernel_perm.py) — and stays configurable via
+    ``kernel_perm`` for the final day-zero check vs checkpoint1099.pth
+    per RUNBOOK.md).
 """
 
 from __future__ import annotations

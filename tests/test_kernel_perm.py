@@ -47,3 +47,79 @@ def test_calibration_identity_candidate_matches_default():
         # and every candidate is a valid permutation
         for perm in cands.values():
             assert sorted(perm.tolist()) == list(range(k ** 3))
+
+
+# ---------------------------------------------------------------------------
+# Independent second derivation (VERDICT r3 missing #3): simulate ME's C++
+# region iterator literally instead of using the closed-form digit-reversal.
+# ---------------------------------------------------------------------------
+
+
+def me_region_iterator_offsets(kernel_size: int, dimension: int = 3,
+                               dilation: int = 1) -> np.ndarray:
+    """Offsets [K, D] in the order MinkowskiEngine's kernel_region
+    enumerates them, derived by simulating the C++ iterator step by step.
+
+    Semantics from ME's public source (src/kernel_region.hpp,
+    kernel_region_iterator::operator++ for REGION_TYPE::HYPER_CUBE), the
+    engine behind every conv the reference builds
+    (reference models/modules/common.py:125-155 -> ME.KernelGenerator):
+
+      * the region spans, per axis, lower..upper with
+        lower = -dilation*(k-1)/2 rounded toward zero for ODD k
+        (centered) and 0 for EVEN k, upper = lower + dilation*(k-1);
+      * the iterator starts at the lower corner and operator++ adds
+        `dilation` to axis 0; when axis 0 passes its upper bound it
+        resets to lower and CARRIES into axis 1, and so on — i.e. the
+        FIRST axis varies fastest (column-major traversal).
+
+    This function shares no code with kernel_maps.me_kernel_perm (which
+    derives the same order analytically as a base-k digit reversal).
+    """
+    k, d = kernel_size, dilation
+    if k % 2 == 1:
+        lower = -d * (k - 1) // 2
+    else:
+        lower = 0
+    upper = lower + d * (k - 1)
+
+    cur = [lower] * dimension
+    out = [tuple(cur)]
+    while True:
+        axis = 0
+        while axis < dimension:
+            cur[axis] += d
+            if cur[axis] <= upper:
+                break
+            cur[axis] = lower
+            axis += 1
+        if axis == dimension:
+            break
+        out.append(tuple(cur))
+    return np.array(out, dtype=np.int32)
+
+
+def test_iterator_simulation_agrees_with_analytic_perm():
+    """The perm table says ours[i] = me_kernel[perm[i]]; with the ME order
+    produced independently by the iterator simulation, perm[i] must be the
+    position of our offset i in that enumeration."""
+    for k in (2, 3, 5):
+        me_order = me_region_iterator_offsets(k)
+        ours = kernel_offsets(k)
+        assert me_order.shape == ours.shape
+        # same offset SET
+        assert (set(map(tuple, me_order.tolist()))
+                == set(map(tuple, ours.tolist())))
+        index_in_me = {tuple(o): i for i, o in enumerate(me_order.tolist())}
+        derived = np.array([index_in_me[tuple(o)] for o in ours.tolist()])
+        np.testing.assert_array_equal(derived, me_kernel_perm(k))
+
+
+def test_iterator_simulation_dilation_invariance():
+    """Dilation scales offsets but must not reorder them (the reference
+    only ever uses dilation=1, but ME's iterator steps by dilation)."""
+    for k in (3, 5):
+        base = me_region_iterator_offsets(k, dilation=1)
+        dil = me_region_iterator_offsets(k, dilation=2)
+        np.testing.assert_array_equal(dil, base * 2 - (base.min(0) * 2
+                                                       - dil.min(0)))
