@@ -108,6 +108,16 @@ def min_over_draws(make_loop, label, n1, n2, stats=None):
         steady = t2 if (t1 <= t2 or t_fit <= 0) else t_fit
         if stats is not None and t1 > t2:
             stats["B_ms"] = (t1 - t2) / (1.0 / n1 - 1.0 / n2)
+        if stats is not None:
+            # raw per-rep samples so the extrapolation is re-derivable
+            # from the recorded BENCH json alone (VERDICT r3 next #7)
+            stats.setdefault("draws", []).append({
+                "compile_s": round(compile_s, 2),
+                "t1_ms_reps": [round(p[0], 3) for p in pairs],
+                "t2_ms_reps": [round(p[1], 3) for p in pairs],
+                "t1_ms": round(t1, 3), "t2_ms": round(t2, 3),
+                "T_ms": round(steady, 3),
+            })
         per_draw.append(steady)
         print(f"{label} draw {draw}: compile+first {compile_s:.1f}s, "
               f"t({n1}) {t1:.2f} t({n2}) {t2:.2f} -> T {steady:.2f} ms",
@@ -245,6 +255,15 @@ def main():
         "value": round(p50, 3),
         "unit": "ms",
         "vs_baseline": round(50.0 / p50, 2),
+        # raw per-length, per-rep wall-clock samples: T re-derives as
+        # (n2*t2 - n1*t1)/(n2 - n1) per draw, min over draws
+        "raw": {
+            "n_voxels": n_valid,
+            "backbone": {"n1": 16, "n2": 128, "T_ms": round(bb_ms, 3),
+                         "draws": bb_stats.get("draws", [])},
+            "forward_mask": {"n1": 20, "n2": 160,
+                             "draws": fm_stats.get("draws", [])},
+        },
     }))
 
 
