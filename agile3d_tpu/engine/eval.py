@@ -42,7 +42,8 @@ class InteractiveEngine:
     and the kernels carried Mosaic-fragility cost. See PERF.md.
     """
 
-    def __init__(self, cfg: Config, decoder_impl: str = "xla", sp: int = 1):
+    def __init__(self, cfg: Config, decoder_impl: str = "xla", sp: int = 1,
+                 sp_backbone: bool = False):
         if decoder_impl not in ("xla", "auto"):
             raise ValueError(
                 f"decoder_impl={decoder_impl!r} is gone: the Pallas decoder "
@@ -53,8 +54,13 @@ class InteractiveEngine:
         # (parallel/sp.py, SURVEY section 5.7) — scenes whose padded voxel
         # count exceeds one chip's HBM shard the attention/mask-head over
         # the mesh's 'sp' axis. Used by the host-rollout eval path
-        # (run_mask); the backbone stays single-chip.
+        # (run_mask). sp_backbone=True additionally shards the BACKBONE's
+        # voxel axis (parallel/sp_backbone.py — SURVEY section 7 stage 8),
+        # removing the single-chip HBM ceiling on the UNet itself.
         self.sp = sp
+        self.sp_backbone = sp_backbone
+        if sp_backbone and sp <= 1:
+            raise ValueError("sp_backbone requires sp > 1")
         if sp > 1:
             from agile3d_tpu.parallel import make_mesh
             from agile3d_tpu.parallel.sp import make_forward_mask_sp
@@ -64,6 +70,14 @@ class InteractiveEngine:
                 self._sp_mesh, cfg.model)
             self._sp_scene_key = None
             self._sp_scene = None
+            if sp_backbone:
+                from agile3d_tpu.parallel.sp_backbone import (
+                    make_forward_backbone_sp)
+
+                self._bb_sp = make_forward_backbone_sp(self._sp_mesh,
+                                                       cfg.model)
+                self._sp_pyr_key = None
+                self._sp_pyr = None
 
         @functools.partial(jax.jit, static_argnames=("training",))
         def _backbone(params, buffers, bn_state, pyr, feats, raw, sample_idx,
@@ -133,9 +147,40 @@ class InteractiveEngine:
 
     def run_backbone(self, params, buffers, bn_state, batch: SceneBatch,
                      training=False):
+        if self.sp_backbone and not training:
+            return self._run_backbone_sp(params, buffers, bn_state, batch)
         pyr, feats, raw, sample_idx = self.device_batch(batch)
         return self._backbone(params, buffers, bn_state, pyr, feats, raw,
                               sample_idx, training=training)
+
+    def _run_backbone_sp(self, params, buffers, bn_state, batch: SceneBatch):
+        """Voxel-sharded backbone (parallel/sp_backbone.py): partition the
+        padded pyramid over the sp mesh (cached per batch — the same role
+        as device_batch's transfer cache) and run the halo-exchange UNet.
+        Output SceneFeatures are already sharded for run_mask's SP decoder."""
+        from agile3d_tpu.parallel.sp_backbone import partition_pyramid
+
+        if batch.sample_idx.shape[0] != 1:
+            raise ValueError("sp_backbone is single-scene (B=1) — the "
+                             "over-HBM eval case it exists for")
+        nv = batch.pyramid.levels[0].num_valid
+        si = batch.sample_idx[0]
+        if not (np.array_equal(si[:nv], np.arange(nv, dtype=si.dtype))
+                and (si[nv:] == -1).all()):
+            raise ValueError("sp_backbone requires identity sample_idx "
+                             "(single-scene collation)")
+        if self._sp_pyr_key is not batch:
+            # host-side partition cached per batch; the jitted forward
+            # transfers each leaf straight to its shard placement
+            self._sp_pyr = partition_pyramid(batch.pyramid, self.sp)
+            self._sp_pyr_key = batch
+        scene, new_bn = self._bb_sp(params, buffers, bn_state, self._sp_pyr,
+                                    jnp.asarray(batch.feats),
+                                    jnp.asarray(batch.raw))
+        # already sharded exactly as _shard_scene would place it
+        self._sp_scene = scene
+        self._sp_scene_key = scene
+        return scene, new_bn
 
     CLICK_BUCKETS = (32, 64, 128, 256)
 

@@ -47,6 +47,10 @@ def get_args_parser():
     p.add_argument("--sp", default=1, type=int,
                    help="shard the decoder's voxel axis over this many "
                         "devices (1 = single chip)")
+    p.add_argument("--sp_backbone", action="store_true",
+                   help="with --sp > 1: also shard the BACKBONE's voxel "
+                        "axis (halo-exchange UNet, parallel/sp_backbone.py) "
+                        "— removes the single-chip HBM ceiling entirely")
     p.add_argument("--scene_parallel", default=0, type=int,
                    help="evaluate scenes in parallel across this many "
                         "devices (embarrassingly parallel; per-scene "
@@ -84,7 +88,8 @@ def main(args):
             mode="multi", devices=jax.devices()[: args.scene_parallel],
             max_num_clicks=args.max_num_clicks, seed=args.seed)
     else:
-        engine = InteractiveEngine(cfg, sp=args.sp)
+        engine = InteractiveEngine(cfg, sp=args.sp,
+                                   sp_backbone=args.sp_backbone)
         if args.sp > 1 and not args.host_rollout:
             print(f"--sp {args.sp}: using the host rollout loop (the "
                   "on-device scan is single-chip)")
