@@ -3,6 +3,9 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
+
+pytestmark = pytest.mark.slow  # minutes-scale on a 1-core host (fast tier: -m 'not slow')
 
 from agile3d_tpu.config import BackboneConfig, ModelConfig
 from agile3d_tpu.models.backbone import backbone_forward, init_backbone

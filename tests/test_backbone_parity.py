@@ -14,6 +14,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes-scale on a 1-core host (fast tier: -m 'not slow')
+
 from agile3d_tpu.config import ModelConfig
 from agile3d_tpu.models.agile3d import init_agile3d
 from agile3d_tpu.models.backbone import backbone_forward

@@ -56,6 +56,7 @@ def test_banded_matches_scan_and_zero_pads():
         assert float(jnp.abs(got[pad_rows]).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_banded_grads_match_scan_conv():
     """Custom VJP: dX (stencil-transpose identity) and dW (accumulating
     kernel) must match jax.grad through the XLA scan conv."""
@@ -150,6 +151,7 @@ def test_pad_pyramid_builds_banded_aux_only_when_big():
         assert lv.blo is None
 
 
+@pytest.mark.slow
 def test_exception_pairs_corrected():
     """Force tiny band widths so neighbors go out of band; the exception
     gather + scatter-add must restore exactness (same contract as the

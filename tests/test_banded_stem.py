@@ -42,6 +42,7 @@ def _dense_ref(x, k5, w):
     return acc
 
 
+@pytest.mark.slow
 def test_stem_kernel_exact_and_pad_zero():
     lv, rng = _scene()
     n = lv.grid.shape[0]
@@ -60,6 +61,7 @@ def test_stem_kernel_exact_and_pad_zero():
     assert np.abs(out[lv.num_valid:]).max() == 0.0  # zero-pad invariant
 
 
+@pytest.mark.slow
 def test_pad_pyramid_attaches_stem_aux_and_backbone_routes():
     """pad_pyramid produces the aux on big scenes; backbone_forward output
     through the banded stem equals the strips-stem output (CPU interpret)."""
@@ -100,6 +102,7 @@ def test_prep_falls_back_on_small_or_misaligned():
     assert isinstance(ok, bool)
 
 
+@pytest.mark.slow
 def test_exception_strips_corrected():
     """Force a tiny band profile so many strips go out of band; the
     exception scatter-add must restore exactness."""

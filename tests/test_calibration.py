@@ -80,6 +80,7 @@ TWISTED = ((1, 2, 0), (1, -1, 1))
 
 @pytest.mark.parametrize("truth", [IDENTITY, TWISTED],
                          ids=["identity", "twisted"])
+@pytest.mark.slow
 def test_recovers_traversal(truth):
     rec, ckpt_w = _fabricate(truth, with_vox=True)
     scores, best_key, table = calibrate(rec, ckpt_w, VOXEL)
@@ -96,6 +97,7 @@ def test_recovers_traversal(truth):
         assert table[27] == me_kernel_perm(3).tolist()
 
 
+@pytest.mark.slow
 def test_fallback_row_alignment_without_vox():
     rec, ckpt_w = _fabricate(TWISTED, with_vox=False)
     scores, best_key, _ = calibrate(rec, ckpt_w, VOXEL)

@@ -4,6 +4,7 @@ import numpy as np
 import torch
 import torch.nn.functional as F
 import jax.numpy as jnp
+import pytest
 
 from agile3d_tpu.config import LossConfig
 from agile3d_tpu.models.criterion import (
@@ -99,6 +100,7 @@ def test_click_loss_weights_matches_torch_cdist():
     assert (mine[0, n_valid:] == 0).all()
 
 
+@pytest.mark.slow
 def test_val_loss_covers_aux_rounds_multi_hlevel():
     """VERDICT r3 weak #2: with hlevels=(4,4) the model emits
     num_decoders*len(hlevels) rounds; the weight dict must cover every

@@ -63,6 +63,7 @@ def clicks_from_dicts(click_idx, click_time_idx, cfg):
 
 
 @pytest.mark.parametrize("with_bg_clicks", [False, True])
+@pytest.mark.slow
 def test_forward_mask_matches_torch(with_bg_clicks):
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)

@@ -75,6 +75,7 @@ def test_device_rollout_matches_host_rows(tmp_path):
         assert abs(float(h[4]) - float(d[4])) < 1e-5, (hr, dr)
 
 
+@pytest.mark.slow
 def test_device_rollout_matches_host_rows_single(tmp_path):
     """Single-object protocol (binarized labels, +1 absolute click/round,
     reference eval_single_obj.py:108,164) through the device scan — the

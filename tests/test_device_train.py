@@ -9,10 +9,13 @@ is the one place the device path uses its own RNG stream.
 
 import random as pyrandom
 
+import pytest
+
+pytestmark = pytest.mark.slow  # minutes-scale on a 1-core host (fast tier: -m 'not slow')
+
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from agile3d_tpu.config import Config, ModelConfig, TrainConfig
 from agile3d_tpu.data.datasets import SceneSample, collate_scenes

@@ -6,10 +6,13 @@ time sane; the workflow under test is identical."""
 
 import random as pyrandom
 
+import pytest
+
+pytestmark = pytest.mark.slow  # minutes-scale on a 1-core host (fast tier: -m 'not slow')
+
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from agile3d_tpu.config import (
     BackboneConfig, Config, ModelConfig, TrainConfig)

@@ -7,10 +7,12 @@ structural-validation config that keeps this gate host-speed-independent
 (verified under `taskset -c 0`: 82 s end to end)."""
 
 import jax
+import pytest
 
 from __graft_entry__ import dryrun_cfg, dryrun_multichip
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     assert len(jax.devices()) >= 8
     dryrun_multichip(8)  # raises on any sharding/collective failure

@@ -39,6 +39,7 @@ def test_dataset_loads(bench):
     assert (batch.sample_idx >= 0).sum() == len(s.labels)
 
 
+@pytest.mark.slow
 def test_e2e_eval_and_metrics(bench, tmp_path):
     scans, val_list = bench
     ds = InterMultiObjDataset(scans, val_list, 0.05)
@@ -71,6 +72,7 @@ def test_e2e_eval_and_metrics(bench, tmp_path):
     assert all(isinstance(v, float) for v in res.values())
 
 
+@pytest.mark.slow
 def test_e2e_eval_deterministic(bench, tmp_path):
     scans, val_list = bench
     ds = InterMultiObjDataset(scans, val_list, 0.05)
@@ -113,6 +115,7 @@ def test_ply_roundtrip(tmp_path):
     np.testing.assert_array_equal(f2, faces)
 
 
+@pytest.mark.slow
 def test_eval_loss_meter(bench, tmp_path):
     from agile3d_tpu.utils.misc import MetricLogger
 

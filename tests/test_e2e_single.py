@@ -16,6 +16,7 @@ from tests.synthetic import write_benchmark
 CFG = Config(model=ModelConfig(max_clicks=32), buckets=(1024, 2048, 4096))
 
 
+@pytest.mark.slow
 def test_single_object_eval_pipeline(tmp_path):
     scans, _ = write_benchmark(str(tmp_path), num_scenes=2, num_obj=2,
                                n_points=1500)

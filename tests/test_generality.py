@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow  # minutes-scale on a 1-core host (fast tier: -m 'not slow')
+
 from agile3d_tpu.config import Config, ModelConfig
 from agile3d_tpu.models.agile3d import (
     ClickState, forward_backbone, forward_mask, init_agile3d)

@@ -47,6 +47,7 @@ def test_dataloader_scene_discovery(scene_dir):
     assert dl2.object_names == ["chair"]
 
 
+@pytest.mark.slow
 def test_server_click_flow(scene_dir):
     dl = InteractiveDataLoader(scene_dir, "tester2")
     server = InteractiveSegmentationServer(dl, weights=None, cfg=CFG)

@@ -130,6 +130,7 @@ def test_sp_chunked_matches_dense():
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_dp_train_step_runs():
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
@@ -145,6 +146,7 @@ def test_mesh_construction():
         make_mesh(n_dp=16, n_sp=2)
 
 
+@pytest.mark.slow
 def test_scene_parallel_eval(tmp_path):
     if len(jax.devices()) < 4:
         pytest.skip("needs virtual devices")

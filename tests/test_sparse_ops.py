@@ -182,6 +182,9 @@ def test_im2col_matches_loop_conv():
                                atol=1e-4)
 
 
+import pytest
+
+@pytest.mark.slow
 def test_backbone_bf16_mode_close_to_f32():
     import jax
     from agile3d_tpu.config import BackboneConfig
@@ -241,6 +244,7 @@ def test_factored_conv_matches_direct():
         assert rows_factored < 0.75 * rows_direct, (rows_factored, rows_direct)
 
 
+@pytest.mark.slow
 def test_factored_conv_config_plumbing():
     """BackboneConfig.factored_conv must either run the factored path
     (pyramid built with factored=True) or fail loudly — never silently fall
@@ -286,6 +290,7 @@ def test_factored_conv_config_plumbing():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_sparse_conv_strips_matches_scan():
     """Strip-gather conv == direct gather-GEMM conv on k3, k5 and down maps
     (same math, 3-5x fewer gather descriptors; needs the sorted-row

@@ -104,6 +104,7 @@ def test_scene_switch(server):
     assert seg.loader.index == 0
 
 
+@pytest.mark.slow
 def test_mesh_scene(tmp_path):
     """Mesh scans stream the full-resolution surface (/mesh: vertices +
     colors + per-vertex voxel rows + triangles) and clicks still operate

@@ -8,7 +8,13 @@ scale) and _pick_attn_chunk now selects it by default. This probe measures
 forward_mask under (a) f32 dense, (b) all-bf16 dense, (c) f32 at forced
 matmul precisions, (d) the chunk-size ladder in both dtypes.
 
-Usage: python tools/probe_decoder_bf16.py [n_points] [n_clicks]
+Usage: python tools/probe_decoder_bf16.py [n_points] [n_clicks] [extent]
+       [chunks_only]
+
+extent scales the synthetic scene footprint (8.0 = the 185k-voxel bench
+scene at 400k points; 22.0 at 1.2M points = the 670k-voxel KITTI stress
+scene). chunks_only=1 skips the dense variants — at >= 512k voxels the
+dense [B,H,Q,N] logits are multi-GB and only the scan paths matter.
 """
 
 import os
@@ -44,8 +50,10 @@ def main():
     rng = np.random.default_rng(0)
     n_points = int(sys.argv[1]) if len(sys.argv) > 1 else 400000
     n_clicks = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    extent = float(sys.argv[3]) if len(sys.argv) > 3 else 8.0
+    chunks_only = len(sys.argv) > 4 and sys.argv[4] == "1"
     coords, colors, labels = make_scene(rng, n_points=n_points, num_obj=8,
-                                        extent=8.0)
+                                        extent=extent)
     coords += rng.standard_normal(coords.shape).astype(np.float32) * 0.03
     vox, umap, imap = sparse_quantize(coords, cfg.model.voxel_size)
     sample = SceneSample(
@@ -112,25 +120,28 @@ def main():
         print(f"{tag:32s} {[f'{t:.2f}' for t in reps]} -> {p50:.2f} ms")
         return p50
 
-    timed("f32 dense (current default)", params, buffers, scene)
+    if not chunks_only:
+        timed("f32 dense", params, buffers, scene)
 
     to_bf16 = lambda t: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
     scene_bf = scene._replace(mask_feat=scene.mask_feat.astype(jnp.bfloat16),
                               pos_pcd=scene.pos_pcd.astype(jnp.bfloat16))
-    timed("bf16 dense", to_bf16(params), to_bf16(buffers), scene_bf)
-
-    timed("f32 arrays, matmul bf16", params, buffers, scene,
-          precision="bfloat16")
-    timed("f32 arrays, matmul f32x3", params, buffers, scene,
-          precision="float32")
+    if not chunks_only:
+        timed("bf16 dense", to_bf16(params), to_bf16(buffers), scene_bf)
+        timed("f32 arrays, matmul bf16", params, buffers, scene,
+              precision="bfloat16")
+        timed("f32 arrays, matmul f32x3", params, buffers, scene,
+              precision="float32")
 
     # chunked (never-materialize-logits) sweep: force the scan on by
     # zeroing the dense threshold
     import dataclasses
 
-    for chunk in (4096, 8192, 16384, 32768, 65536):
+    chunk_ladder = ((16384, 32768, 65536, 131072) if chunks_only
+                    else (4096, 8192, 16384, 32768, 65536))
+    for chunk in chunk_ladder:
         mcfg = dataclasses.replace(cfg.model, xla_attn_chunk=chunk,
                                    xla_attn_dense_threshold=0)
         timed(f"f32 chunked {chunk}", params, buffers, scene, mcfg=mcfg)
