@@ -8,8 +8,12 @@ re-imagined as a dependency-free web app:
     ctrl-click = background, per-object mask coloring;
   * click picking runs client-side in screen space (nearest projected
     voxel with depth priority — the reference unprojects a rendered depth
-    image then takes the nearest voxel, gui.py:253-339, utils.py:27-29;
-    same result, no depth readback needed);
+    image then takes the nearest voxel, gui.py:253-339, utils.py:27-29).
+    Equivalent when clicking squarely on a surface, occluded or not; it
+    intentionally snaps to the NEARER object within 12 px of a
+    silhouette edge where the reference picks the exact-pixel surface —
+    semantics mirrored + pinned in interactive/picking.py and
+    tests/test_picking.py;
   * POST /click runs one forward_mask round on the TPU and streams back
     per-voxel labels (the <50 ms-target hot path,
     interactive_segmentation_user.py:64-117).
