@@ -118,6 +118,14 @@ class ModelConfig:
     backbone_dtype: str = "float32"     # 'bfloat16' halves backbone HBM
                                         # traffic (BN stats stay f32);
                                         # float32 preserves checkpoint parity
+    decoder_dtype: str = "float32"      # 'bfloat16' halves the decoder's
+                                        # N-scale HBM traffic (src/K/V/pos
+                                        # reads; softmax stats stay f32 via
+                                        # promotion) — measured 34.3 -> 27.4
+                                        # ms/click at 670k voxels
+                                        # (stress_kitti, PERF.md round 4);
+                                        # float32 preserves exact torch
+                                        # parity
 
     @property
     def max_queries(self) -> int:

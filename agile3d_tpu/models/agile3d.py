@@ -204,6 +204,11 @@ def forward_backbone(
     pos_pcd = _pos_enc(raw_b, buffers, cmin[:, None, :], cmax[:, None, :], cfg)
     pos_pcd = jnp.where(vox_valid[..., None], pos_pcd, 0)
 
+    if cfg.decoder_dtype == "bfloat16":
+        # cast ONCE per scene (the scene is reused for ~100 clicks) so the
+        # decoder's N-scale reads (src, pos) ride half the HBM bandwidth
+        mask_feat = mask_feat.astype(jnp.bfloat16)
+        pos_pcd = pos_pcd.astype(jnp.bfloat16)
     scene = SceneFeatures(mask_feat=mask_feat, pos_pcd=pos_pcd,
                           vox_valid=vox_valid, raw=raw_b, cmin=cmin, cmax=cmax)
     return scene, new_bn_state
@@ -218,10 +223,21 @@ def _mask_module(params, queries, src, query_obj, query_valid, col_valid,
                  vox_valid):
     """Mask head (reference agile3d.py:342-384): LayerNorm -> 2-layer MLP ->
     voxel-query dot products -> per-object max over that object's click
-    queries -> [bg | fg] logits; plus the next round's attention bias.
+    queries -> [bg | fg] logits; plus the next round's attention-bias state.
 
     Returns (out [B, N, 1+K] with invalid object columns at NEG_INF,
-             round_bias [B, Q, N])."""
+             labels [B, N] current per-voxel argmax (-1 on pad rows),
+             present [B, 1+K] whether any voxel is argmax'd to that object).
+
+    (labels, present) is the COMPACT form of the reference's per-round
+    attention mask (agile3d.py:363-382): click queries of object o attend
+    only to voxels currently argmax'd to o; objects with no argmax'd voxel
+    get fully-open rows. The dense [B, Q, N] bias is reconstructed lazily —
+    per key-chunk inside the scanned attention (_round_bias_chunk) or in
+    one piece for the small-N dense path (_round_bias_dense) — so the
+    [B, Q, N] array is never carried across rounds (at 670k voxels and 266
+    queries that carried array alone was ~713 MB of HBM write+read per
+    round; see PERF.md round 4)."""
     mh = params["mask_embed_head"]
     qn = layer_norm(queries, params["decoder_norm"])
     emb = jax.nn.relu(qn @ mh["linear1"]["w"] + mh["linear1"]["b"])
@@ -237,19 +253,38 @@ def _mask_module(params, queries, src, query_obj, query_valid, col_valid,
     out = jnp.stack(cols, axis=-1)                                # [B, N, 1+K]
     out = jnp.where(col_valid[:, None, :], out, NEG_INF)
 
-    # next-round attention bias (reference agile3d.py:363-382): click queries
-    # of object o attend only to voxels currently argmax'd to o; rows that
-    # would mask everything are reset to fully open.
     labels = jnp.argmax(out, axis=-1)                             # [B, N]
     labels = jnp.where(vox_valid, labels, -1)
     obj_ids = jnp.arange(n_cols)
-    match = labels[:, None, :] == obj_ids[None, :, None]          # [B, 1+K, N]
-    present = jnp.any(match, axis=-1, keepdims=True)              # [B, 1+K, 1]
-    per_obj_bias = jnp.where(present & ~match, NEG_INF, 0.0)      # [B, 1+K, N]
-    safe_obj = jnp.clip(query_obj, 0, n_cols - 1)
-    round_bias = jnp.take_along_axis(
-        per_obj_bias, safe_obj[:, :, None], axis=1)               # [B, Q, N]
-    return out, round_bias
+    present = jnp.any(
+        labels[:, None, :] == obj_ids[None, :, None], axis=-1)    # [B, 1+K]
+    return out, labels, present
+
+
+def _round_bias_dense(labels, present, safe_obj, vox_valid):
+    """Materialized [B, Q, N] bias == the reference's round mask + key-pad
+    mask (numerics identical to the previous carried-round_bias form:
+    masked entries are NEG_INF + NEG_INF on pad rows)."""
+    sel_present = jnp.take_along_axis(present, safe_obj, axis=1)  # [B, Q]
+    mismatch = labels[:, None, :] != safe_obj[:, :, None]         # [B, Q, N]
+    bias = jnp.where(sel_present[:, :, None] & mismatch, NEG_INF, 0.0)
+    return bias + jnp.where(vox_valid, 0.0, NEG_INF)[:, None, :]
+
+
+def _round_bias_chunk(labels, present, safe_obj, vox_valid):
+    """bias_fn(start, size) for mha_chunked_keys: reconstructs the [B, Q,
+    size] bias slice from the compact (labels, present) state so the full
+    [B, Q, N] bias never touches HBM."""
+    sel_present = jnp.take_along_axis(present, safe_obj, axis=1)  # [B, Q]
+
+    def bias_fn(start, size):
+        lab_c = jax.lax.dynamic_slice_in_dim(labels, start, size, axis=1)
+        val_c = jax.lax.dynamic_slice_in_dim(vox_valid, start, size, axis=1)
+        mismatch = lab_c[:, None, :] != safe_obj[:, :, None]      # [B, Q, s]
+        bias = jnp.where(sel_present[:, :, None] & mismatch, NEG_INF, 0.0)
+        return bias + jnp.where(val_c, 0.0, NEG_INF)[:, None, :]
+
+    return bias_fn
 
 
 def _pick_attn_chunk(n: int, logits_volume: int, cfg: ModelConfig) -> int:
@@ -306,6 +341,18 @@ def forward_mask(
             "path is structurally broken (pos-enc/memory length mismatch, "
             "reference agile3d.py:280-290), so only repeated-finest "
             "configurations are reachable and supported")
+    if cfg.decoder_dtype == "bfloat16":
+        # cast weights/tables/scene features to bf16 (f32 leaves only; ints
+        # and bools pass through). Unused subtrees (e.g. the backbone's
+        # weights) are dead code under jit and cost nothing. Softmax/norm
+        # statistics run f32 via dtype promotion of the f32 bias/pos terms.
+        _bf = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+        params, buffers = _bf(params), _bf(buffers)
+        scene = scene._replace(
+            mask_feat=scene.mask_feat.astype(jnp.bfloat16),
+            pos_pcd=scene.pos_pcd.astype(jnp.bfloat16))
     b, n, c = scene.mask_feat.shape
     nbq = cfg.num_bg_queries
     heads = cfg.num_heads
@@ -335,14 +382,17 @@ def forward_mask(
         [jnp.ones((b, nbq), bool), click_valid], axis=1)
 
     # static key-padding biases
-    vox_key_bias = jnp.where(scene.vox_valid, 0.0, NEG_INF)[:, None, :]  # [B,1,N]
     q_key_bias = jnp.where(query_valid, 0.0, NEG_INF)[:, None, :]        # [B,1,Q]
 
     n_cols = 1 + cfg.max_fg_objects
     col_valid = (jnp.arange(n_cols)[None, :] <= num_obj[:, None])  # [B, 1+K]
 
     src = scene.mask_feat
-    round_bias = jnp.zeros((b, queries.shape[1], n))
+    # compact round-bias state: no object "present" yet -> fully-open rows
+    # (== the reference's zero initial attention mask, agile3d.py:256)
+    labels0 = jnp.zeros((b, n), jnp.int32)
+    present0 = jnp.zeros((b, n_cols), bool)
+    safe_obj = jnp.clip(query_obj, 0, n_cols - 1)
     q_total = queries.shape[1]
     drop = cfg.dropout if train_rng is not None else 0.0
     chunk = _pick_attn_chunk(n, b * q_total * n * heads, cfg)
@@ -358,13 +408,19 @@ def forward_mask(
     # round) instead of keeping all rounds' alive — same policy as the
     # backbone's per-block remat. Inert in eval. (Without it the canonical
     # 524k-voxel train batch measured 20 G HBM vs the 15.75 G budget.)
-    def round_body(dp, rng4, queries, src, round_bias):
+    def round_body(dp, rng4, queries, src, labels, present):
         rk = ((lambda j: rng4[j]) if rng4 is not None
               else (lambda j: None))
+        if chunk:
+            c2s_bias, c2s_bias_fn = None, _round_bias_chunk(
+                labels, present, safe_obj, scene.vox_valid)
+        else:
+            c2s_bias, c2s_bias_fn = _round_bias_dense(
+                labels, present, safe_obj, scene.vox_valid), None
         queries = cross_attention_layer(
             dp["c2s"], queries, src, heads, pos=scene.pos_pcd,
             query_pos=query_pos,
-            attn_bias=round_bias + vox_key_bias,
+            attn_bias=c2s_bias, attn_bias_fn=c2s_bias_fn,
             pre_norm=cfg.pre_norm, chunk_keys=chunk,
             dropout_rate=drop, rng=rk(0))
         queries = self_attention_layer(
@@ -376,14 +432,13 @@ def forward_mask(
         src = cross_attention_layer(
             dp["s2c"], src, queries, heads, pos=query_pos,
             query_pos=scene.pos_pcd,
-            attn_bias=jnp.broadcast_to(q_key_bias,
-                                       (b, n, queries.shape[1])),
+            attn_bias=q_key_bias,  # [B, 1, Q]: one key row for all voxels
             pre_norm=cfg.pre_norm, chunk_queries=chunk,
             dropout_rate=drop, rng=rk(3))
-        masks, round_bias = _mask_module(
+        masks, labels, present = _mask_module(
             params, queries, src, query_obj, query_valid, col_valid,
             scene.vox_valid)
-        return queries, src, round_bias, masks
+        return queries, src, labels, present, masks
 
     round_params = [params["decoders"][(0 if cfg.shared_decoder else r)
                                        * n_slots + i]
@@ -405,23 +460,25 @@ def forward_mask(
                         if rngs is not None else None)
 
         def scan_body(carry, xs):
-            queries, src, round_bias = carry
+            queries, src, labels, present = carry
             dp = xs[0]
             rng4 = xs[1] if rngs is not None else None
-            queries, src, round_bias, masks = jax.checkpoint(round_body)(
-                dp, rng4, queries, src, round_bias)
-            return (queries, src, round_bias), masks
+            queries, src, labels, present, masks = jax.checkpoint(
+                round_body)(dp, rng4, queries, src, labels, present)
+            return (queries, src, labels, present), masks
 
         xs = (stacked, rngs_stacked) if rngs is not None else (stacked,)
-        (_, _, _), all_masks = jax.lax.scan(
-            scan_body, (queries, src, round_bias), xs)
+        _, all_masks = jax.lax.scan(
+            scan_body, (queries, src, labels0, present0), xs)
     else:
         preds = []
+        labels, present = labels0, present0
         for r in range(n_rounds):
             rng4 = (rngs.reshape(n_rounds, 4, *rngs.shape[1:])[r]
                     if rngs is not None else None)
-            queries, src, round_bias, masks = jax.checkpoint(round_body)(
-                round_params[r], rng4, queries, src, round_bias)
+            queries, src, labels, present, masks = jax.checkpoint(
+                round_body)(round_params[r], rng4, queries, src, labels,
+                            present)
             preds.append(masks)
         all_masks = jnp.stack(preds)
 

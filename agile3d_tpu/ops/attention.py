@@ -77,16 +77,22 @@ def mha(params, q_in, k_in, v_in, num_heads: int, attn_bias=None,
 
 
 def mha_chunked_keys(params, q_in, k_in, v_in, num_heads: int,
-                     attn_bias=None, chunk: int = 8192):
+                     attn_bias=None, chunk: int = 8192, bias_fn=None):
     """MHA with an online-softmax scan over key chunks: never materializes
     the [B, H, Lq, Lk] logits (the XLA-path memory hog for voxel-axis
     attention). Differentiable (plain lax.scan), numerics match ``mha``.
 
-    attn_bias [B, Lq, Lk] is consumed chunk-by-chunk.
+    attn_bias [B, Lq, Lk] is consumed chunk-by-chunk. Alternatively
+    ``bias_fn(start, size) -> [B, Lq, size]`` computes the bias for keys
+    [start, start+size) on the fly inside each scan step — at voxel-scale
+    Lk this removes the [B, Lq, Lk] HBM materialization entirely (the
+    dominant decoder traffic at >500k voxels; see PERF.md round 4).
     """
     b, lq, e = q_in.shape
     lk = k_in.shape[1]
     if lk % chunk != 0:
+        if bias_fn is not None:
+            attn_bias = bias_fn(0, lk)
         return mha(params, q_in, k_in, v_in, num_heads, attn_bias)
     hd = e // num_heads
     nc = lk // chunk
@@ -100,15 +106,20 @@ def mha_chunked_keys(params, q_in, k_in, v_in, num_heads: int,
 
     k_c = k.reshape(b, nc, chunk, num_heads, hd).transpose(1, 0, 2, 3, 4)
     v_c = v.reshape(b, nc, chunk, num_heads, hd).transpose(1, 0, 2, 3, 4)
-    if attn_bias is not None:
+    if bias_fn is not None:
+        bias_c = jnp.arange(nc, dtype=jnp.int32) * chunk
+        get_bias = lambda bc: bias_fn(bc, chunk)
+    elif attn_bias is not None:
         bias_c = attn_bias.reshape(b, lq, nc, chunk).transpose(2, 0, 1, 3)
+        get_bias = lambda bc: bc
     else:
         bias_c = jnp.zeros((nc, 1, 1, chunk), q_in.dtype)
+        get_bias = lambda bc: bc
 
     def step(carry, inp):
         m, l, acc = carry
         kc, vc, bc = inp
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, kc) + bc[:, None]
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, kc) + get_bias(bc)[:, None]
         m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
         scale = jnp.exp(m - m_new)
         p = jnp.exp(logits - m_new[..., None])
@@ -129,13 +140,23 @@ def mha_chunked_queries(params, q_in, k_in, v_in, num_heads: int,
                         attn_bias=None, chunk: int = 8192):
     """MHA scanned over ROW (query) chunks — for the scene-to-click
     direction where softmax runs over the tiny key axis but the query axis
-    is the voxel count. attn_bias [B, Lq, Lk]."""
+    is the voxel count. attn_bias [B, Lq, Lk], or [B, 1, Lk] to apply one
+    key-bias row to every query without materializing the [B, Lq, Lk]
+    broadcast (the voxel-as-query direction always uses this form)."""
     b, lq, e = q_in.shape
     if lq % chunk != 0:
         return mha(params, q_in, k_in, v_in, num_heads, attn_bias)
     nc = lq // chunk
 
     q_c = q_in.reshape(b, nc, chunk, e).transpose(1, 0, 2, 3)
+    if attn_bias is not None and attn_bias.shape[1] == 1 and lq != 1:
+        shared_bias = attn_bias
+
+        def step(_, qc):
+            return None, mha(params, qc, k_in, v_in, num_heads, shared_bias)
+
+        _, out = jax.lax.scan(step, None, q_c)
+        return out.transpose(1, 0, 2, 3).reshape(b, lq, e)
     bias_c = (attn_bias.reshape(b, nc, chunk, -1).transpose(1, 0, 2, 3)
               if attn_bias is not None else
               jnp.zeros((nc, 1, 1, k_in.shape[1]), q_in.dtype))
@@ -199,18 +220,20 @@ def self_attention_layer(params, tgt, num_heads, *, query_pos=None,
 
 
 def cross_attention_layer(params, tgt, memory, num_heads, *, pos=None,
-                          query_pos=None, attn_bias=None, pre_norm=False,
-                          chunk_keys=0, chunk_queries=0,
+                          query_pos=None, attn_bias=None, attn_bias_fn=None,
+                          pre_norm=False, chunk_keys=0, chunk_queries=0,
                           dropout_rate: float = 0.0, rng=None):
     """reference attention_block.py:86-113 (q = tgt + query_pos,
     k = memory + pos, value = memory). chunk_keys/chunk_queries select the
     memory-lean scanned attention for long key/query axes (these skip the
     attn-prob dropout — they only engage at eval-scale voxel counts; the
-    residual dropout still applies)."""
+    residual dropout still applies). attn_bias_fn(start, size) computes the
+    key-chunk bias on the fly (chunk_keys path only)."""
     r_attn, r_res = _split3(rng)
     if chunk_keys:
         attend = lambda q, k, v, b: mha_chunked_keys(
-            params["attn"], q, k, v, num_heads, b, chunk_keys)
+            params["attn"], q, k, v, num_heads, b, chunk_keys,
+            bias_fn=attn_bias_fn)
     elif chunk_queries:
         attend = lambda q, k, v, b: mha_chunked_queries(
             params["attn"], q, k, v, num_heads, b, chunk_queries)

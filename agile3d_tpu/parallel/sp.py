@@ -25,13 +25,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from agile3d_tpu.config import ModelConfig
 from agile3d_tpu.models.agile3d import (
-    ClickState, SceneFeatures, _pick_attn_chunk, _pos_enc)
+    ClickState, SceneFeatures, _pick_attn_chunk, _pos_enc,
+    _round_bias_chunk)
 from agile3d_tpu.ops.attention import NEG_INF, cross_attention_layer, ffn_layer, self_attention_layer
 from agile3d_tpu.ops.norm import layer_norm
 
 
 def _mha_sharded_keys(params, q_in, k_in, v_in, num_heads, bias_local, axis,
-                      chunk: int = 0):
+                      chunk: int = 0, bias_fn=None):
     """MHA with keys/values sharded over `axis`: distributed softmax.
 
     The per-shard contribution is reduced to (running max m, denominator l,
@@ -39,7 +40,11 @@ def _mha_sharded_keys(params, q_in, k_in, v_in, num_heads, bias_local, axis,
     divides the local key count, by the same online-softmax scan as the
     single-chip mha_chunked_keys (ops/attention.py), so the [B,H,Q,N_l]
     logits are never materialized inside a shard either. The cross-shard
-    softmax is then a pmax/psum combine of (m, l, acc)."""
+    softmax is then a pmax/psum combine of (m, l, acc).
+
+    ``bias_fn(start, size)`` (shard-LOCAL key offsets) computes the bias
+    slice on the fly so the [B, Q, N_l] bias never touches HBM either —
+    same compact-round-bias scheme as the single-chip decoder."""
     b, lq, e = q_in.shape
     lk = k_in.shape[1]
     hd = e // num_heads
@@ -55,12 +60,18 @@ def _mha_sharded_keys(params, q_in, k_in, v_in, num_heads, bias_local, axis,
         nc = lk // chunk
         k_c = k.reshape(b, nc, chunk, num_heads, hd).transpose(1, 0, 2, 3, 4)
         v_c = v.reshape(b, nc, chunk, num_heads, hd).transpose(1, 0, 2, 3, 4)
-        bias_c = bias_local.reshape(b, lq, nc, chunk).transpose(2, 0, 1, 3)
+        if bias_fn is not None:
+            bias_c = jnp.arange(nc, dtype=jnp.int32) * chunk
+            get_bias = lambda bc: bias_fn(bc, chunk)
+        else:
+            bias_c = bias_local.reshape(b, lq, nc, chunk).transpose(2, 0, 1, 3)
+            get_bias = lambda bc: bc
 
         def step(carry, inp):
             m0, l0, acc0 = carry
             kc, vc, bc = inp
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, kc) + bc[:, None]
+            logits = (jnp.einsum("bqhd,bkhd->bhqk", q, kc)
+                      + get_bias(bc)[:, None])
             m1 = jnp.maximum(m0, jnp.max(logits, axis=-1))
             scale = jnp.exp(m0 - m1)
             p = jnp.exp(logits - m1[..., None])
@@ -75,6 +86,8 @@ def _mha_sharded_keys(params, q_in, k_in, v_in, num_heads, bias_local, axis,
         (m_loc, l_loc, acc_loc), _ = jax.lax.scan(
             step, init, (k_c, v_c, bias_c))
     else:
+        if bias_fn is not None:
+            bias_local = bias_fn(0, lk)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) + bias_local[:, None]
         m_loc = jnp.max(logits, axis=-1)                       # [b,h,q]
         ex = jnp.exp(logits - m_loc[..., None])
@@ -92,17 +105,23 @@ def _mha_sharded_keys(params, q_in, k_in, v_in, num_heads, bias_local, axis,
 
 def _cross_attn_sharded_keys(layer_params, tgt, memory_local, num_heads, *,
                              pos_local, query_pos, bias_local, axis,
-                             chunk: int = 0):
+                             chunk: int = 0, bias_fn=None):
     """Post-norm CrossAttentionLayer with the memory axis sharded."""
     q = tgt + query_pos
     k = memory_local + pos_local
     out = _mha_sharded_keys(layer_params["attn"], q, k, memory_local,
-                            num_heads, bias_local, axis, chunk=chunk)
+                            num_heads, bias_local, axis, chunk=chunk,
+                            bias_fn=bias_fn)
     return layer_norm(tgt + out, layer_params["norm"])
 
 
 def _sp_mask_module(params, queries, src_local, query_obj, query_valid,
                     col_valid, vox_valid_local, axis):
+    """Row-parallel mask head. Returns (out [B, Nl, 1+K] shard-local,
+    labels_local [B, Nl], present [B, 1+K] GLOBAL — the one cross-shard
+    psum). The [B, Q, Nl] round bias is reconstructed lazily from
+    (labels_local, present) inside the attention, same compact scheme as
+    the single-chip _mask_module (models/agile3d.py)."""
     mh = params["mask_embed_head"]
     qn = layer_norm(queries, params["decoder_norm"])
     emb = jax.nn.relu(qn @ mh["linear1"]["w"] + mh["linear1"]["b"])
@@ -121,14 +140,10 @@ def _sp_mask_module(params, queries, src_local, query_obj, query_valid,
     labels = jnp.argmax(out, axis=-1)
     labels = jnp.where(vox_valid_local, labels, -1)
     obj_ids = jnp.arange(n_cols)
-    match = labels[:, None, :] == obj_ids[None, :, None]
-    present_local = jnp.any(match, axis=-1)
+    present_local = jnp.any(labels[:, None, :] == obj_ids[None, :, None],
+                            axis=-1)
     present = jax.lax.psum(present_local.astype(jnp.int32), axis) > 0
-    per_obj_bias = jnp.where(present[..., None] & ~match, NEG_INF, 0.0)
-    safe_obj = jnp.clip(query_obj, 0, n_cols - 1)
-    round_bias = jnp.take_along_axis(per_obj_bias, safe_obj[:, :, None],
-                                     axis=1)
-    return out, round_bias
+    return out, labels, present
 
 
 def make_forward_mask_sp(mesh: Mesh, cfg: ModelConfig):
@@ -180,12 +195,14 @@ def make_forward_mask_sp(mesh: Mesh, cfg: ModelConfig):
         query_valid = jnp.concatenate(
             [jnp.ones((b, nbq), bool), click_valid], axis=1)
 
-        vox_key_bias = jnp.where(valid_l, 0.0, NEG_INF)[:, None, :]
         q_key_bias = jnp.where(query_valid, 0.0, NEG_INF)[:, None, :]
         col_valid = jnp.arange(n_cols)[None, :] <= num_obj[:, None]
+        safe_obj = jnp.clip(query_obj, 0, n_cols - 1)
 
         src = mask_feat_l
-        round_bias = jnp.zeros((b, queries.shape[1], nl))
+        # compact round-bias state (labels shard-local, present global)
+        labels_l = jnp.zeros((b, nl), jnp.int32)
+        present = jnp.zeros((b, n_cols), bool)
         preds = []
         # Same (decoder, hlevel-slot) weight schedule as the single-chip
         # forward_mask (models/agile3d.py:356-359, reference
@@ -197,10 +214,12 @@ def make_forward_mask_sp(mesh: Mesh, cfg: ModelConfig):
             d_idx = 0 if cfg.shared_decoder else r
             for i in range(n_slots):
                 dp = params["decoders"][d_idx * n_slots + i]
+                bias_fn = _round_bias_chunk(labels_l, present, safe_obj,
+                                            valid_l)
                 queries = _cross_attn_sharded_keys(
                     dp["c2s"], queries, src, heads, pos_local=pos_pcd_l,
                     query_pos=query_pos,
-                    bias_local=round_bias + vox_key_bias, axis=axis,
+                    bias_local=None, bias_fn=bias_fn, axis=axis,
                     chunk=chunk)
                 queries = self_attention_layer(
                     dp["c2c"], queries, heads, query_pos=query_pos,
@@ -210,10 +229,9 @@ def make_forward_mask_sp(mesh: Mesh, cfg: ModelConfig):
                 src = cross_attention_layer(
                     dp["s2c"], src, queries, heads, pos=query_pos,
                     query_pos=pos_pcd_l,
-                    attn_bias=jnp.broadcast_to(q_key_bias,
-                                               (b, nl, queries.shape[1])),
+                    attn_bias=q_key_bias,  # [B, 1, Q] shared key row
                     pre_norm=cfg.pre_norm, chunk_queries=chunk)
-                masks, round_bias = _sp_mask_module(
+                masks, labels_l, present = _sp_mask_module(
                     params, queries, src, query_obj, query_valid, col_valid,
                     valid_l, axis)
                 preds.append(masks)
@@ -231,6 +249,14 @@ def make_forward_mask_sp(mesh: Mesh, cfg: ModelConfig):
     @jax.jit
     def forward_mask_sp(params, buffers, scene: SceneFeatures,
                         clicks: ClickState, num_obj):
+        if cfg.decoder_dtype == "bfloat16":
+            _bf = lambda t: jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+            params, buffers = _bf(params), _bf(buffers)
+            scene = scene._replace(
+                mask_feat=scene.mask_feat.astype(jnp.bfloat16),
+                pos_pcd=scene.pos_pcd.astype(jnp.bfloat16))
         all_masks = sharded(params, buffers, scene.mask_feat, scene.pos_pcd,
                             scene.vox_valid, scene.raw, scene.cmin,
                             scene.cmax, clicks, num_obj)

@@ -56,6 +56,11 @@ def get_args_parser():
                         "devices (embarrassingly parallel; per-scene "
                         "seeding makes results independent of the device "
                         "count)")
+    p.add_argument("--decoder_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="bfloat16 halves decoder HBM traffic — 34.3 -> 27.4 "
+                        "ms/click at 670k voxels (PERF.md round 4); float32 "
+                        "preserves exact reference parity")
     return p
 
 
@@ -66,7 +71,8 @@ def main(args):
     random.seed(args.seed)
 
     cfg = Config(model=ModelConfig(voxel_size=args.voxel_size,
-                                   max_clicks=args.max_clicks_budget),
+                                   max_clicks=args.max_clicks_budget,
+                                   decoder_dtype=args.decoder_dtype),
                  train=TrainConfig(seed=args.seed,
                                    max_num_clicks=args.max_num_clicks))
     params, buffers, bn_state = load_model_weights(args.checkpoint, cfg.model)

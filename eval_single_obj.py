@@ -38,6 +38,10 @@ def get_args_parser():
     p.add_argument("--output_dir", default="results", type=str)
     p.add_argument("--checkpoint", default="checkpoints/checkpoint1099.pth")
     p.add_argument("--max_num_clicks", default=20, type=int)
+    p.add_argument("--decoder_dtype", default="float32",
+                   choices=("float32", "bfloat16"),
+                   help="bfloat16 halves decoder HBM traffic (PERF.md "
+                        "round 4); float32 preserves exact parity")
     p.add_argument("--host_rollout", action="store_true",
                    help="per-round host loop instead of the on-device scan "
                         "(see eval_multi_obj.py / PERF.md)")
@@ -50,7 +54,8 @@ def main(args):
     np.random.seed(args.seed)
     random.seed(args.seed)
 
-    cfg = Config(model=ModelConfig(voxel_size=args.voxel_size, max_clicks=64),
+    cfg = Config(model=ModelConfig(voxel_size=args.voxel_size, max_clicks=64,
+                                   decoder_dtype=args.decoder_dtype),
                  train=TrainConfig(seed=args.seed,
                                    max_num_clicks=args.max_num_clicks))
     params, buffers, bn_state = load_model_weights(args.checkpoint, cfg.model)

@@ -55,6 +55,11 @@ def main():
                          "CPU-mesh SP correctness runs at >= 1.5M voxels "
                          "where CPU timing is both meaningless and "
                          "minutes per iteration; requires --sp > 1")
+    ap.add_argument("--decoder_dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="time the decoder in this dtype (bfloat16 = the "
+                         "production eval config, eval_multi_obj "
+                         "--decoder_dtype bfloat16)")
     args = ap.parse_args()
     if args.sp_only and args.sp <= 1:
         ap.error("--sp_only times nothing and checks nothing without an SP "
@@ -84,7 +89,11 @@ def main():
 
     # two extra rungs beyond the standard ladder so >= 1.5M-voxel scenes
     # pad instead of truncating (SP stress territory)
+    import dataclasses
+
     cfg = Config(buckets=tuple(DEFAULT_VOXEL_BUCKETS) + (1572864, 2097152))
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+        cfg.model, decoder_dtype=args.decoder_dtype))
     rng = np.random.default_rng(0)
     coords, colors, labels = make_scene(rng, n_points=args.points,
                                         num_obj=10, extent=args.extent)
