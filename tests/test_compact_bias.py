@@ -124,6 +124,40 @@ def test_forward_mask_chunked_matches_dense():
                                rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
+def test_sp_decoder_bf16_matches_single_chip():
+    """The SP decoder honors decoder_dtype='bfloat16' (same cast points as
+    the single-chip path) and its predictions agree with the single-chip
+    bf16 decoder. Cross-shard (m, l, acc) combine order differs from the
+    single-chip chunk scan, so bf16 rounding can flip near-tied argmaxes —
+    assert close logits + overwhelming argmax agreement."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import dataclasses
+
+    from agile3d_tpu.parallel import make_mesh
+    from agile3d_tpu.parallel.sp import make_forward_mask_sp
+    from tests.test_parallel import _scene_and_clicks
+
+    cfg = dataclasses.replace(ModelConfig(max_clicks=32),
+                              decoder_dtype="bfloat16")
+    rng = np.random.default_rng(3)
+    params, buffers, scene, clicks = _scene_and_clicks(rng, cfg=cfg)
+    num_obj = jnp.asarray([3], jnp.int32)
+
+    ref = forward_mask(params, buffers, scene, clicks, num_obj, cfg=cfg)
+    mesh = make_mesh(n_dp=1, n_sp=8)
+    fm_sp, shard_scene = make_forward_mask_sp(mesh, cfg)
+    got = fm_sp(params, buffers, shard_scene(scene), clicks, num_obj)
+
+    valid = np.asarray(scene.vox_valid[0])
+    a = np.asarray(ref["pred_masks"], np.float32)[0, valid][:, :4]
+    b = np.asarray(got["pred_masks"], np.float32)[0, valid][:, :4]
+    np.testing.assert_allclose(a, b, rtol=0.05, atol=0.05)
+    agree = (a.argmax(-1) == b.argmax(-1)).mean()
+    assert agree > 0.99, agree
+
+
 def test_decoder_bf16_smoke():
     cfg_f32 = ModelConfig(max_clicks=32, max_fg_objects=10, num_decoders=2)
     import dataclasses
