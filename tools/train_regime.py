@@ -95,8 +95,12 @@ def main():
     from agile3d_tpu.evaluation import EvaluatorMO
 
     curves = {}
-    val_dir = os.path.join(out_dir, "regime", "valResults")
-    if os.path.isdir(val_dir):
+    # main.py appends a timestamped run_id to --output_dir (main.py:229-230,
+    # mirroring the reference); collect CSVs from every run dir under out/.
+    for run_dir in sorted(os.listdir(out_dir)) if os.path.isdir(out_dir) else []:
+        val_dir = os.path.join(out_dir, run_dir, "valResults")
+        if not os.path.isdir(val_dir):
+            continue
         for f in sorted(os.listdir(val_dir)):
             m = re.match(r"val_results_epoch_(\d+)\.csv$", f)
             if not m:
