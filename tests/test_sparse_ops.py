@@ -12,6 +12,8 @@ from agile3d_tpu.ops.sparse_conv import (
     sparse_conv,
     sparse_conv_transpose,
     avg_pool_down,
+    sum_pool_down,
+    avg_unpool_up,
     linear,
 )
 from agile3d_tpu.ops.norm import batch_norm, init_bn, layer_norm, init_layer_norm
@@ -102,6 +104,30 @@ def test_avg_pool_down():
     for j in range(len(coarse.grid)):
         members = fine.down[j][fine.down[j] >= 0]
         np.testing.assert_allclose(out[j], x[members].mean(0), rtol=1e-5, atol=1e-6)
+
+
+def test_sum_pool_down_and_avg_unpool_up():
+    """ME MinkowskiSumPooling / MinkowskiAvgUnpooling semantics
+    (reference models/modules/common.py:240-258 and 219-237): sum over
+    present children on the way down; copy the parent's value to every
+    child on the way up."""
+    rng = np.random.default_rng(7)
+    vox = _random_scene(rng, n=200, lo=0, hi=6)
+    pyr = build_pyramid(vox, num_levels=2)
+    fine, coarse = pyr.levels[0], pyr.levels[1]
+    x = rng.standard_normal((len(vox), 3)).astype(np.float32)
+    out = np.asarray(sum_pool_down(jnp.asarray(x), jnp.asarray(fine.down)))
+    for j in range(len(coarse.grid)):
+        members = fine.down[j][fine.down[j] >= 0]
+        np.testing.assert_allclose(out[j], x[members].sum(0), rtol=1e-5,
+                                   atol=1e-6)
+
+    xc = rng.standard_normal((len(coarse.grid), 3)).astype(np.float32)
+    up = np.asarray(avg_unpool_up(jnp.asarray(xc),
+                                  jnp.asarray(fine.up_parent)))
+    for i, fg in enumerate(fine.grid):
+        parent = np.flatnonzero((coarse.grid == (fg >> 1)).all(1))[0]
+        np.testing.assert_allclose(up[i], xc[parent], rtol=1e-6, atol=0)
 
 
 def test_batch_norm_matches_torch():
