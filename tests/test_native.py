@@ -103,11 +103,17 @@ def test_native_speedup(lib):
     rng = np.random.default_rng(2)
     vox = np.unique(rng.integers(0, 60, size=(50000, 3)).astype(np.int32),
                     axis=0)
-    t0 = time.time()
-    build_pyramid(vox)
-    t_native = time.time() - t0
-    t0 = time.time()
-    _numpy_env(build_pyramid, vox)
-    t_numpy = time.time() - t0
+
+    def best_of(fn, reps=3):
+        # min over reps: single samples are poisoned by transient host load
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
+    t_native = best_of(lambda: build_pyramid(vox))
+    t_numpy = best_of(lambda: _numpy_env(build_pyramid, vox))
     # the native path must be decisively faster (typically 10-30x)
     assert t_native < t_numpy, (t_native, t_numpy)
