@@ -242,7 +242,11 @@ def _mask_module(params, queries, src, query_obj, query_valid, col_valid,
     qn = layer_norm(queries, params["decoder_norm"])
     emb = jax.nn.relu(qn @ mh["linear1"]["w"] + mh["linear1"]["b"])
     emb = emb @ mh["linear2"]["w"] + mh["linear2"]["b"]          # [B, Q, C]
-    logits = jnp.einsum("bnc,bqc->bnq", src, emb)                 # [B, N, Q]
+    # f32 accumulation/output: mask logits feed argmax ties, CE/dice loss,
+    # and the returned predictions — keep them f32 even when the decoder
+    # computes in bf16 (the MXU contraction still takes bf16 inputs)
+    logits = jnp.einsum("bnc,bqc->bnq", src, emb,
+                        preferred_element_type=jnp.float32)       # [B, N, Q]
 
     n_cols = col_valid.shape[1]
     cols = []
@@ -259,6 +263,22 @@ def _mask_module(params, queries, src, query_obj, query_valid, col_valid,
     present = jnp.any(
         labels[:, None, :] == obj_ids[None, :, None], axis=-1)    # [B, 1+K]
     return out, labels, present
+
+
+def cast_decoder_bf16(params, buffers, scene):
+    """The decoder_dtype='bfloat16' cast policy, shared by the single-chip
+    (forward_mask) and SP (parallel/sp.py) decoders: f32 leaves of
+    params/buffers -> bf16 (ints and bools pass through; unused subtrees
+    such as the backbone's weights are dead code under jit and cost
+    nothing), scene mask features + positional encodings -> bf16.
+    ``scene.raw``/``cmin``/``cmax`` stay f32, so softmax statistics and
+    LayerNorm moments promote to f32 via the f32 bias/pos terms."""
+    _bf = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+    return _bf(params), _bf(buffers), scene._replace(
+        mask_feat=scene.mask_feat.astype(jnp.bfloat16),
+        pos_pcd=scene.pos_pcd.astype(jnp.bfloat16))
 
 
 def _round_bias_dense(labels, present, safe_obj, vox_valid):
@@ -342,17 +362,7 @@ def forward_mask(
             "reference agile3d.py:280-290), so only repeated-finest "
             "configurations are reachable and supported")
     if cfg.decoder_dtype == "bfloat16":
-        # cast weights/tables/scene features to bf16 (f32 leaves only; ints
-        # and bools pass through). Unused subtrees (e.g. the backbone's
-        # weights) are dead code under jit and cost nothing. Softmax/norm
-        # statistics run f32 via dtype promotion of the f32 bias/pos terms.
-        _bf = lambda t: jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
-        params, buffers = _bf(params), _bf(buffers)
-        scene = scene._replace(
-            mask_feat=scene.mask_feat.astype(jnp.bfloat16),
-            pos_pcd=scene.pos_pcd.astype(jnp.bfloat16))
+        params, buffers, scene = cast_decoder_bf16(params, buffers, scene)
     b, n, c = scene.mask_feat.shape
     nbq = cfg.num_bg_queries
     heads = cfg.num_heads
@@ -438,7 +448,12 @@ def forward_mask(
         masks, labels, present = _mask_module(
             params, queries, src, query_obj, query_valid, col_valid,
             scene.vox_valid)
-        return queries, src, labels, present, masks
+        # pin the carry to the decoder compute dtype: the f32 pos/bias
+        # terms promote the attention outputs, which under bf16 would
+        # (a) run rounds 2+ in f32 and (b) break the lax.scan carry-dtype
+        # contract in the training form. Identity under f32.
+        cdt = scene.mask_feat.dtype
+        return queries.astype(cdt), src.astype(cdt), labels, present, masks
 
     round_params = [params["decoders"][(0 if cfg.shared_decoder else r)
                                        * n_slots + i]

@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from agile3d_tpu.config import ModelConfig
 from agile3d_tpu.models.agile3d import (
     ClickState, SceneFeatures, _pick_attn_chunk, _pos_enc,
-    _round_bias_chunk)
+    _round_bias_chunk, cast_decoder_bf16)
 from agile3d_tpu.ops.attention import NEG_INF, cross_attention_layer, ffn_layer, self_attention_layer
 from agile3d_tpu.ops.norm import layer_norm
 
@@ -126,7 +126,9 @@ def _sp_mask_module(params, queries, src_local, query_obj, query_valid,
     qn = layer_norm(queries, params["decoder_norm"])
     emb = jax.nn.relu(qn @ mh["linear1"]["w"] + mh["linear1"]["b"])
     emb = emb @ mh["linear2"]["w"] + mh["linear2"]["b"]
-    logits = jnp.einsum("bnc,bqc->bnq", src_local, emb)
+    # f32 logits even under the bf16 decoder, matching _mask_module
+    logits = jnp.einsum("bnc,bqc->bnq", src_local, emb,
+                        preferred_element_type=jnp.float32)
 
     n_cols = col_valid.shape[1]
     cols = []
@@ -234,6 +236,11 @@ def make_forward_mask_sp(mesh: Mesh, cfg: ModelConfig):
                 masks, labels_l, present = _sp_mask_module(
                     params, queries, src, query_obj, query_valid, col_valid,
                     valid_l, axis)
+                # pin the round carry to the decoder compute dtype, exactly
+                # as the single-chip round_body does (models/agile3d.py):
+                # the f32 pos/bias terms otherwise promote rounds 2+ to f32
+                queries = queries.astype(mask_feat_l.dtype)
+                src = src.astype(mask_feat_l.dtype)
                 preds.append(masks)
         return jnp.stack(preds)  # [R, B, Nl, 1+K] sharded over Nl
 
@@ -250,13 +257,8 @@ def make_forward_mask_sp(mesh: Mesh, cfg: ModelConfig):
     def forward_mask_sp(params, buffers, scene: SceneFeatures,
                         clicks: ClickState, num_obj):
         if cfg.decoder_dtype == "bfloat16":
-            _bf = lambda t: jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.bfloat16)
-                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
-            params, buffers = _bf(params), _bf(buffers)
-            scene = scene._replace(
-                mask_feat=scene.mask_feat.astype(jnp.bfloat16),
-                pos_pcd=scene.pos_pcd.astype(jnp.bfloat16))
+            params, buffers, scene = cast_decoder_bf16(
+                params, buffers, scene)
         all_masks = sharded(params, buffers, scene.mask_feat, scene.pos_pcd,
                             scene.vox_valid, scene.raw, scene.cmin,
                             scene.cmax, clicks, num_obj)

@@ -74,6 +74,20 @@ class SPPyramid(NamedTuple):
     levels: tuple  # tuple[SPLevel, ...] finest first
 
 
+def _halo_bucket(n: int) -> int:
+    """Static halo ladder: ~1.5x-geometric steps, 128-granular (128, 192,
+    288, 448, 640, 1024, ...). The halo row count varies per scene; exact
+    128-granular rounding would give the halo-exchange backbone a fresh
+    shape set — and a fresh multi-minute XLA compile — for nearly every
+    scene of a dataset eval. The geometric ladder caps the distinct
+    compiled shapes at O(log N) while wasting <= ~50% pad rows (the halo
+    is boundary-scale, ~6% of N, so the pad is noise next to N)."""
+    h = 128
+    while h < n:
+        h = -(-(h * 3 // 2) // 128) * 128
+    return h
+
+
 def _cross_refs(map_arr: np.ndarray, l_out: int, l_in: int) -> np.ndarray:
     """Global input rows referenced by an output row of a different shard."""
     m = map_arr.shape[0]
@@ -143,7 +157,7 @@ def partition_pyramid(ppyr: PaddedPyramid, n_sp: int) -> SPPyramid:
     out = []
     for l, lvl in enumerate(levels):
         halo = halos[l]
-        h = max(128, -(-halo.size // 128) * 128)  # static halo bucket
+        h = _halo_bucket(halo.size)
 
         own = halo // ls[l]
         src = np.full((n_sp, h), -1, np.int64)
@@ -258,18 +272,27 @@ def _stage_sp(p_list, s_list, x, k3, valid, halo_src, *, training, momentum,
 
 
 def _backbone_forward_sp(params, state, lv: tuple, feats, *, training: bool,
-                         cfg, axis: str):
+                         cfg, axis: str, compute_dtype=None):
     """Local (per-shard) Res16UNet forward (mirrors
     models/backbone.backbone_forward; reference res16unet.py:222-295).
     Plain gather-GEMM convs only — see module docstring."""
     mom = cfg.bn_momentum
     ns = {}
+    # same compute-dtype policy as the single-chip backbone_forward
+    # (models/backbone.py): cast feats + weights once, keep BN statistics
+    # f32, cast the top-level BN outputs back to the compute dtype
+    cd = compute_dtype
 
     def bn(name, x, valid):
         y, ns[name] = _batch_norm_sp(
             x.astype(jnp.float32), valid, params[name], state[name],
             training=training, momentum=mom, axis=axis)
-        return y
+        return y.astype(cd) if cd else y
+
+    if cd:
+        feats = feats.astype(cd)
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(cd) if x.dtype == jnp.float32 else x, params)
 
     stem_map = lv[0].k5 if lv[0].k5 is not None else lv[0].k3
     out = sparse_conv(_halo_exchange(feats, lv[0].halo_src, axis),
@@ -321,7 +344,9 @@ def make_forward_backbone_sp(mesh: Mesh, cfg: ModelConfig):
     def local_fn(params, buffers, bn_state, lv, feats, raw, training):
         fmaps, new_bn = _backbone_forward_sp(
             params["backbone"], bn_state, lv, feats, training=training,
-            cfg=cfg.backbone, axis=axis)
+            cfg=cfg.backbone, axis=axis,
+            compute_dtype=(jnp.bfloat16
+                           if cfg.backbone_dtype == "bfloat16" else None))
         squeezed = linear(fmaps[-1].astype(jnp.float32),
                           params["lin_squeeze"]["w"],
                           params["lin_squeeze"]["b"], valid=lv[0].valid)

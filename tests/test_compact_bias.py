@@ -176,3 +176,25 @@ def test_decoder_bf16_smoke():
     lab_f32 = out_f32.argmax(-1)[:, :300]
     lab_bf16 = out_bf16.argmax(-1)[:, :300]
     assert (lab_f32 == lab_bf16).mean() > 0.90
+
+
+def test_decoder_bf16_scan_rounds():
+    """The training form (scan_rounds=True) must run under the bf16
+    decoder: without the round_body carry-dtype pin, the f32 pos/bias
+    terms promote queries/src to f32 after round 1 and lax.scan rejects
+    the carry (code-review round 4). Also pins that the eval rounds loop
+    and the scanned rounds agree — both now keep the carry in bf16."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        ModelConfig(max_clicks=32, max_fg_objects=10, num_decoders=2),
+        decoder_dtype="bfloat16")
+    params, buffers, scene, clicks, num_obj = _decoder_inputs(300, 384, cfg)
+    out_scan = forward_mask(params, buffers, scene, clicks, num_obj,
+                            cfg=cfg, scan_rounds=True)["all_masks"]
+    out_loop = forward_mask(params, buffers, scene, clicks, num_obj,
+                            cfg=cfg)["all_masks"]
+    assert out_scan.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out_scan)[:, :, :300, :4]).all()
+    np.testing.assert_allclose(np.asarray(out_scan)[:, :, :300, :4],
+                               np.asarray(out_loop)[:, :, :300, :4],
+                               rtol=2e-2, atol=2e-2)

@@ -189,3 +189,47 @@ def test_engine_sp_backbone_rollout(tmp_path):
     for r, g in zip(ref, got):
         assert r[:4] == g[:4]
         np.testing.assert_allclose(float(g[4]), float(r[4]), atol=2e-3)
+
+
+def test_halo_bucket_ladder():
+    """~1.5x-geometric, 128-granular, monotone, covers n (code-review
+    round 4: exact 128-rounding recompiled the sharded UNet per scene)."""
+    from agile3d_tpu.parallel.sp_backbone import _halo_bucket
+
+    vals = sorted({_halo_bucket(n) for n in range(0, 200_000, 37)})
+    assert all(v % 128 == 0 for v in vals)
+    assert all(_halo_bucket(n) >= n for n in range(0, 5000, 13))
+    # O(log) distinct shapes across a 200k range, not one per scene
+    assert len(vals) < 25, vals
+    ratios = [b / a for a, b in zip(vals, vals[1:])]
+    assert max(ratios) <= 2.0, ratios  # 128->256 is the coarsest step
+
+
+def test_sp_backbone_bf16_matches_single_chip_bf16():
+    """backbone_dtype='bfloat16' follows the same cast policy on the
+    sharded path as on the single-chip path (code-review round 4: the SP
+    backbone silently ignored it)."""
+    import dataclasses
+
+    cfg = _small_cfg()
+    model_bf = dataclasses.replace(cfg.model, backbone_dtype="bfloat16")
+    batch, _ = _scene_batch(cfg)
+    params, buffers, bn_state = init_agile3d(jax.random.PRNGKey(0), model_bf)
+
+    ref_scene, _ = jax.jit(
+        lambda p, bf, bs, f, r, si: forward_backbone(
+            p, bf, bs, batch.pyramid, f, r, si, training=False,
+            cfg=model_bf))(params, buffers, bn_state,
+                           jnp.asarray(batch.feats), jnp.asarray(batch.raw),
+                           jnp.asarray(batch.sample_idx))
+
+    mesh = make_mesh(n_dp=1, n_sp=2)
+    sp_pyr = partition_pyramid(batch.pyramid, 2)
+    fwd_sp = make_forward_backbone_sp(mesh, model_bf)
+    scene, _ = fwd_sp(params, buffers, bn_state, sp_pyr,
+                      jnp.asarray(batch.feats), jnp.asarray(batch.raw))
+
+    # bf16 accumulates differently across the shard boundary -> looser band
+    np.testing.assert_allclose(np.asarray(scene.mask_feat, np.float32),
+                               np.asarray(ref_scene.mask_feat, np.float32),
+                               atol=0.05, rtol=0.05)

@@ -60,7 +60,10 @@ def main():
     for f in os.listdir(scans_v):  # val scans live in the same scan folder
         dst = os.path.join(scans_t, f)
         if not os.path.exists(dst):
-            os.symlink(os.path.join(scans_v, f), dst)
+            # abspath: a relative target would resolve relative to the
+            # symlink's own directory (train/scans/), producing dangling
+            # links whenever workdir is given as a relative path
+            os.symlink(os.path.abspath(os.path.join(scans_v, f)), dst)
 
     out_dir = os.path.join(work, "out")
     lr_drop = max(1, int(round(args.epochs * args.lr_drop_frac)))
