@@ -46,11 +46,22 @@ def save_checkpoint(path, params, buffers, bn_state, opt_state=None,
 
 
 def load_checkpoint(path, template: dict):
-    """Restore against a template bundle (same structure as saved)."""
+    """Restore against a template bundle (same structure as saved).
+
+    Restored arrays are placed back on the template leaf's devices:
+    orbax hands back host (CPU-committed) arrays, and a jit called with
+    committed-CPU inputs lowers for the CPU platform — on the TPU host
+    that made --resume crash in the Mosaic kernels ('Only interpret mode
+    is supported on CPU backend', observed in the round-4 regime run)."""
+    import jax
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, template)
+    restored = ckptr.restore(path, template)
+    return jax.tree_util.tree_map(
+        lambda r, t: (jax.device_put(r, t.sharding)
+                      if hasattr(t, "sharding") else r),
+        restored, template)
 
 
 def load_model_weights(path: str, cfg: ModelConfig = ModelConfig(),

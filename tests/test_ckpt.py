@@ -49,3 +49,24 @@ def test_orbax_save_load(tmp_path):
     _tree_equal(params, restored["params"])
     _tree_equal(bn_state, restored["bn_state"])
     assert int(restored["epoch"]) == 7
+
+
+def test_orbax_restore_lands_on_template_device(tmp_path):
+    """Restored arrays must be committed to the TEMPLATE leaf's device,
+    not wherever orbax puts them (host): a jit fed committed-CPU inputs
+    lowers for the CPU platform, which crashed --resume on the TPU host
+    (Mosaic kernels refuse CPU lowering). Pin placement on a non-default
+    device of the 8-device CPU mesh."""
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs >= 2 devices")
+    dev = jax.devices()[3]
+    params, buffers, bn_state = init_agile3d(jax.random.PRNGKey(1), CFG)
+    params_d = jax.device_put(params, dev)
+    path = str(tmp_path / "ckpt_dev")
+    save_checkpoint(path, params_d, buffers, bn_state, epoch=1)
+    template = {"params": params_d, "buffers": buffers,
+                "bn_state": bn_state, "epoch": np.asarray(0)}
+    restored = load_checkpoint(path, template)
+    leaf = jax.tree_util.tree_leaves(restored["params"])[0]
+    assert leaf.devices() == {dev}, leaf.devices()
