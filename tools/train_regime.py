@@ -45,6 +45,12 @@ def main():
     ap.add_argument("--val_epochs", type=int, default=10)
     ap.add_argument("--resume", default="",
                     help="resume a crashed run from this orbax checkpoint")
+    ap.add_argument("--max_seconds", type=float, default=0,
+                    help="wall-clock bound: TERM (then KILL) main.py at "
+                    "this budget and post-process whatever epochs "
+                    "completed. Keeps the one-TPU-client-at-a-time rule "
+                    "(RUNBOOK.md): a bounded run can never collide with a "
+                    "later bench/eval client.")
     args = ap.parse_args()
 
     work = args.workdir
@@ -89,8 +95,23 @@ def main():
     t0 = time.time()
     log_path = os.path.join(work, "train_log.txt")
     with open(log_path, "a") as log:
-        rc = subprocess.call(cmd, env=dict(os.environ), stdout=log,
-                             stderr=subprocess.STDOUT)
+        # unbuffered child stdout: per-epoch lines land in train_log.txt as
+        # they happen, so a bounded/killed run still shows its progress
+        env = dict(os.environ, PYTHONUNBUFFERED="1")
+        proc = subprocess.Popen(cmd, env=env, stdout=log,
+                                stderr=subprocess.STDOUT)
+        try:
+            rc = proc.wait(timeout=args.max_seconds or None)
+        except subprocess.TimeoutExpired:
+            print(f"wall-clock budget ({args.max_seconds:.0f}s) reached; "
+                  "terminating main.py (per-epoch checkpoints make this "
+                  "resumable)", flush=True)
+            proc.terminate()
+            try:
+                rc = proc.wait(timeout=60)
+            except subprocess.TimeoutExpired:
+                proc.kill()
+                rc = proc.wait()
     wall = time.time() - t0
     print(f"main.py exit: {rc} after {wall:.0f}s", flush=True)
 
