@@ -14,7 +14,9 @@ from pathlib import Path
 
 import numpy as np
 
-from agile3d_tpu.config import Config, ModelConfig, TrainConfig
+from agile3d_tpu.cli import (
+    add_reference_model_flags, apply_device_arg, model_config_from_args)
+from agile3d_tpu.config import Config, TrainConfig
 from agile3d_tpu.data.datasets import build_dataset
 from agile3d_tpu.engine.eval import InteractiveEngine, evaluate_dataset
 from agile3d_tpu.evaluation import EvaluatorSO
@@ -33,7 +35,19 @@ def get_args_parser():
                    help="txt file of per-object class names")
     p.add_argument("--crop", action="store_true",
                    help="use pre-cropped per-object scans")
-    p.add_argument("--voxel_size", default=0.05, type=float)
+    # the reference's shared model flag block (agile3d_tpu/cli.py), plus
+    # the loader flags its eval CLI also accepts
+    # (reference eval_single_obj.py:33-65)
+    add_reference_model_flags(p)
+    p.add_argument("--train_list", default="", type=str,
+                   help="accepted for reference-script compatibility; "
+                        "unused by eval (as in the reference)")
+    p.add_argument("--num_workers", default=2, type=int,
+                   help="accepted for reference-script compatibility; the "
+                        "eval pipeline loads scenes synchronously")
+    p.add_argument("--val_batch_size", default=1, type=int,
+                   help="must be 1 (per-scene rollout — the reference's "
+                        "only shipped configuration)")
     p.add_argument("--seed", default=42, type=int)
     p.add_argument("--output_dir", default="results", type=str)
     p.add_argument("--checkpoint", default="checkpoints/checkpoint1099.pth")
@@ -49,13 +63,20 @@ def get_args_parser():
 
 
 def main(args):
+    if args.val_batch_size != 1:
+        raise SystemExit("--val_batch_size must be 1: eval rolls out one "
+                         "scene at a time (the reference's only shipped "
+                         "configuration)")
+    apply_device_arg(args)
+
     from agile3d_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     np.random.seed(args.seed)
     random.seed(args.seed)
 
-    cfg = Config(model=ModelConfig(voxel_size=args.voxel_size, max_clicks=64,
-                                   decoder_dtype=args.decoder_dtype),
+    cfg = Config(model=model_config_from_args(
+                     args, max_clicks=64,
+                     decoder_dtype=args.decoder_dtype),
                  train=TrainConfig(seed=args.seed,
                                    max_num_clicks=args.max_num_clicks))
     params, buffers, bn_state = load_model_weights(args.checkpoint, cfg.model)

@@ -17,8 +17,9 @@ from pathlib import Path
 import jax
 import numpy as np
 
-from agile3d_tpu.config import (
-    Config, LossConfig, ModelConfig, TrainConfig)
+from agile3d_tpu.cli import (
+    add_reference_model_flags, apply_device_arg, model_config_from_args)
+from agile3d_tpu.config import Config, LossConfig, TrainConfig
 from agile3d_tpu.data.datasets import build_dataset
 from agile3d_tpu.engine.eval import InteractiveEngine, evaluate_dataset
 from agile3d_tpu.engine.train import (
@@ -36,20 +37,12 @@ def get_args_parser():
     p.add_argument("--scan_folder", default="data/ScanNet/scans", type=str)
     p.add_argument("--train_list", default="data/ScanNet/train_list.json")
     p.add_argument("--val_list", default="data/ScanNet/val_list.json")
-    # model
-    p.add_argument("--voxel_size", default=0.05, type=float)
-    p.add_argument("--hidden_dim", default=128, type=int)
-    p.add_argument("--dim_feedforward", default=1024, type=int)
-    p.add_argument("--num_heads", default=8, type=int)
-    p.add_argument("--num_decoders", default=3, type=int)
-    p.add_argument("--num_bg_queries", default=10, type=int)
-    p.add_argument("--dropout", default=0.0, type=float)
-    p.add_argument("--pre_norm", default=False, type=bool)
-    p.add_argument("--positional_encoding_type", default="fourier")
-    p.add_argument("--gauss_scale", default=1.0, type=float)
-    p.add_argument("--shared_decoder", default=False, type=bool)
-    p.add_argument("--aux", default=True, type=bool)
+    # model (the reference's shared flag block, registered once —
+    # agile3d_tpu/cli.py)
+    add_reference_model_flags(p)
     # loss
+    p.add_argument("--losses", default=["bce", "dice"], nargs="+",
+                   choices=["bce", "dice"])
     p.add_argument("--bce_loss_coef", default=1.0, type=float)
     p.add_argument("--dice_loss_coef", default=2.0, type=float)
     # training
@@ -66,6 +59,10 @@ def get_args_parser():
     p.add_argument("--resume", default="", help="resume from checkpoint")
     p.add_argument("--max_num_clicks", default=20, type=int)
     p.add_argument("--job_name", default="test", type=str)
+    p.add_argument("--num_workers", default=2, type=int,
+                   help="host input-pipeline prefetch depth (the "
+                        "reference's DataLoader workers, main.py:118-123)")
+    p.add_argument("--val_batch_size", default=1, type=int)
     # TPU-native additions (no reference counterpart): data-parallel mesh
     # width and the on-device click-rollout scan
     p.add_argument("--num_dp", default=1, type=int,
@@ -80,22 +77,18 @@ def get_args_parser():
 
 def build_config(args) -> Config:
     return Config(
-        model=ModelConfig(
-            hidden_dim=args.hidden_dim, dim_feedforward=args.dim_feedforward,
-            num_heads=args.num_heads, num_decoders=args.num_decoders,
-            num_bg_queries=args.num_bg_queries, dropout=args.dropout,
-            pre_norm=args.pre_norm,
-            positional_encoding_type=args.positional_encoding_type,
-            gauss_scale=args.gauss_scale, shared_decoder=args.shared_decoder,
-            aux=args.aux, voxel_size=args.voxel_size),
-        loss=LossConfig(bce_loss_coef=args.bce_loss_coef,
+        model=model_config_from_args(args),
+        loss=LossConfig(losses=tuple(args.losses),
+                        bce_loss_coef=args.bce_loss_coef,
                         dice_loss_coef=args.dice_loss_coef, aux=args.aux),
         train=TrainConfig(
             lr=args.lr, weight_decay=args.weight_decay,
             lr_drop=tuple(args.lr_drop), epochs=args.epochs,
             val_epochs=args.val_epochs, batch_size=args.batch_size,
+            val_batch_size=args.val_batch_size,
             clip_max_norm=args.clip_max_norm, seed=args.seed,
-            max_num_clicks=args.max_num_clicks))
+            max_num_clicks=args.max_num_clicks,
+            num_workers=args.num_workers, prefetch=args.num_workers))
 
 
 def _wandb():
@@ -116,6 +109,8 @@ def _wandb():
 
 
 def main(args):
+    apply_device_arg(args)
+
     from agile3d_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     wandb = _wandb()

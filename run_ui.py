@@ -16,7 +16,9 @@ import argparse
 
 import numpy as np
 
-from agile3d_tpu.config import Config, ModelConfig
+from agile3d_tpu.cli import (
+    add_reference_model_flags, apply_device_arg, model_config_from_args)
+from agile3d_tpu.config import Config
 from agile3d_tpu.interactive import (
     InteractiveDataLoader,
     InteractiveSegmentationServer,
@@ -31,7 +33,9 @@ def get_args_parser():
     p.add_argument("--dataset_scenes",
                    default="data/interactive_dataset", type=str)
     p.add_argument("--point_type", default=None, type=str)
-    p.add_argument("--voxel_size", default=0.05, type=float)
+    # the reference's shared model flag block (agile3d_tpu/cli.py;
+    # reference run_UI.py:30-52)
+    add_reference_model_flags(p)
     p.add_argument("--terminal", action="store_true",
                    help="terminal REPL instead of the web GUI")
     p.add_argument("--host", default="127.0.0.1", type=str)
@@ -80,10 +84,12 @@ def terminal_loop(server: InteractiveSegmentationServer):
 
 
 def main(args):
+    apply_device_arg(args)
+
     from agile3d_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    cfg = Config(model=ModelConfig(voxel_size=args.voxel_size,
-                                   decoder_dtype=args.decoder_dtype))
+    cfg = Config(model=model_config_from_args(
+        args, decoder_dtype=args.decoder_dtype))
     loader = InteractiveDataLoader(args.dataset_scenes, args.user_name)
     server = InteractiveSegmentationServer(
         loader, weights=args.pretraining_weights or None, cfg=cfg)
