@@ -72,6 +72,14 @@ def get_args_parser():
     p.add_argument("--device_rollout", action="store_true",
                    help="run the training click rollout as one on-device "
                         "lax.scan instead of the per-round host loop")
+    p.add_argument("--ckpt_epochs", default=1, type=int,
+                   help="rolling-checkpoint cadence. 1 = the reference's "
+                        "per-epoch save (main.py:190-195). Raising it "
+                        "trades restart granularity for wall time where "
+                        "device->host readback is expensive (a remote-"
+                        "tunnel chip pays ~60 s per 157 MB save — "
+                        "RUNBOOK.md); archival epoch-20/LR-drop copies "
+                        "are unaffected")
     return p
 
 
@@ -189,7 +197,12 @@ def main(args):
         wandb.log(epoch_log)
 
         if jax.process_index() == 0:
-            paths = [output_dir / "checkpoint"]
+            # rolling ckpt every --ckpt_epochs (reference: every epoch,
+            # main.py:190-195) + archival copies every 20 epochs / before
+            # LR drops, exactly as the reference
+            paths = []
+            if (epoch + 1) % args.ckpt_epochs == 0:
+                paths.append(output_dir / "checkpoint")
             if (epoch + 1) in args.lr_drop or (epoch + 1) % 20 == 0:
                 paths.append(output_dir / f"checkpoint{epoch:04d}")
             for path in paths:

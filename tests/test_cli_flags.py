@@ -43,7 +43,9 @@ def test_train_cli_accepts_reference_flags():
     args = _parse(train_cli.get_args_parser(), [
         "--losses", "bce", "dice", "--num_workers", "3",
         "--val_batch_size", "1", "--train_list", "t.json",
+        "--ckpt_epochs", "5",
     ])
+    assert args.ckpt_epochs == 5
     cfg = train_cli.build_config(args)
     assert cfg.model.hidden_dim == 64
     assert cfg.model.hlevels == (4, 4)
