@@ -44,6 +44,7 @@ def add_reference_model_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--shared_decoder", default=False, type=bool)
     p.add_argument("--aux", default=True, type=bool)
     p.add_argument("--bn_momentum", default=0.02, type=float)
+    p.add_argument("--conv1_kernel_size", default=5, type=int)
     # the reference's spelling (reference main.py:36 '--dialations')
     p.add_argument("--dialations", default=[1, 1, 1, 1], type=int,
                    nargs="+")
@@ -62,8 +63,17 @@ def model_config_from_args(args, **overrides) -> ModelConfig:
             "supported — the reference never runs any other value (its "
             "default [1,1,1,1] is the only configuration its shipped "
             "models and scripts use, reference main.py:36)")
+    if args.conv1_kernel_size != 5:
+        raise ValueError(
+            f"--conv1_kernel_size {args.conv1_kernel_size}: only 5 is "
+            "supported — the data pipeline pre-builds the stem's 125-column "
+            "gather map (sparse/kernel_maps.build_pyramid stem_kernel=5), "
+            "and the reference never runs any other value (its default 5 is "
+            "the only configuration its shipped models use, reference "
+            "main.py:37)")
     backbone = overrides.pop("backbone", None) or BackboneConfig(
-        bn_momentum=args.bn_momentum, dilations=dilations)
+        bn_momentum=args.bn_momentum, dilations=dilations,
+        conv1_kernel_size=args.conv1_kernel_size)
     return ModelConfig(
         hidden_dim=args.hidden_dim,
         dim_feedforward=args.dim_feedforward,

@@ -217,13 +217,29 @@ def evaluate_scene_device(engine, params, buffers, bn_state, batch, *,
     # click-table bucket: the scan adds at most one click per round
     mc = engine._click_bucket(clicks.count + rounds_pad)
 
-    key = (rounds_pad, n, nf_pad, mc)
+    key = (rounds_pad, n, nf_pad, mc, engine.sp)
     cache = getattr(engine, "_device_rollouts", None)
     if cache is None:
         cache = engine._device_rollouts = {}
     if key not in cache:
-        cache[key] = make_device_rollout(cfg, rounds_pad, max_num_clicks)
+        if engine.sp > 1:
+            # SP x scan composition (parallel/sp_rollout.py): the whole
+            # rollout runs sharded over the engine's sp mesh
+            from agile3d_tpu.parallel.sp_rollout import make_device_rollout_sp
+
+            cache[key] = make_device_rollout_sp(engine._sp_mesh, cfg,
+                                                rounds_pad)
+        else:
+            cache[key] = make_device_rollout(cfg, rounds_pad, max_num_clicks)
     rollout = cache[key]
+
+    if engine.sp > 1:
+        # scene features sharded over sp (already sharded when the SP
+        # backbone produced them; cached per scene like run_mask does)
+        if engine._sp_scene_key is not scene:
+            engine._sp_scene = engine._shard_scene(scene)
+            engine._sp_scene_key = scene
+        scene = engine._sp_scene
 
     ious, _ = rollout(
         params, buffers, scene, jnp.asarray(clicks.vox[:mc]),

@@ -286,8 +286,8 @@ def evaluate_scene(
                     num_aux_rounds=model_num_aux_rounds(cfg.model))
                 loss_meter.update(
                     loss=float(total_loss(losses, wd)),
-                    loss_bce=float(losses["loss_bce"]),
-                    loss_dice=float(losses["loss_dice"]))
+                    **{k: float(v) for k, v in losses.items()
+                       if k in ("loss_bce", "loss_dice")})
 
         if converged_iou is None:
             iou = engine.scene_iou(pred, batch.inverse_map[0],

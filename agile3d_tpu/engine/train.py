@@ -279,9 +279,11 @@ def train_one_epoch(engine, params, buffers, bn_state, opt_state, train_step,
             raise FloatingPointError(
                 f"Loss is {tot}, stopping training "
                 f"(reference engine.py:139-142 guard)")
+        # only the configured loss keys exist (--losses bce / dice drops
+        # the other; criterion_forward emits exactly cfg.loss.losses)
         logger.update(loss=tot, grad_norm=float(gnorm), mIoU=float(miou),
-                      loss_bce=float(losses["loss_bce"]),
-                      loss_dice=float(losses["loss_dice"]))
+                      **{k: float(v) for k, v in losses.items()
+                         if k in ("loss_bce", "loss_dice")})
 
     log(f"Averaged stats: {logger}")
     stats = {k: m.global_avg for k, m in logger.meters.items()}

@@ -148,6 +148,101 @@ def _sp_mask_module(params, queries, src_local, query_obj, query_valid,
     return out, labels, present
 
 
+def forward_mask_local(params, buffers, mask_feat_l, pos_pcd_l, valid_l,
+                       raw_l, cmin, cmax, clicks, num_obj, *,
+                       cfg: ModelConfig, axis: str = "sp"):
+    """Shard-LOCAL decoder body: one forward_mask pass with the voxel axis
+    sharded over ``axis``. Must run inside a shard_map over that axis (it
+    issues psum/pmax collectives). Returns the per-round mask stack
+    [R, B, Nl, 1+K], shard-local in Nl.
+
+    Exposed at module level so other shard_mapped programs — the SP
+    device-rollout scan (parallel/sp_rollout.py) — can reuse the exact same
+    decoder body instead of re-deriving it."""
+    nbq, heads = cfg.num_bg_queries, cfg.num_heads
+    n_cols = 1 + cfg.max_fg_objects
+    b, nl, c = mask_feat_l.shape
+    shard = jax.lax.axis_index(axis)
+    lo = shard * nl
+
+    # assemble click features/coords across shards (one psum each)
+    click_valid = clicks.vox >= 0
+    local_idx = clicks.vox - lo
+    in_shard = click_valid & (local_idx >= 0) & (local_idx < nl)
+    safe = jnp.clip(local_idx, 0, nl - 1)
+    cfeat = jnp.where(
+        in_shard[..., None],
+        jnp.take_along_axis(mask_feat_l, safe[..., None], axis=1), 0)
+    cxyz = jnp.where(
+        in_shard[..., None],
+        jnp.take_along_axis(raw_l, safe[..., None], axis=1), 0)
+    cfeat = jax.lax.psum(cfeat, axis)
+    cxyz = jax.lax.psum(cxyz, axis)
+
+    cpos = _pos_enc(cxyz, buffers, cmin[:, None, :], cmax[:, None, :],
+                    cfg)
+    t_safe = jnp.clip(clicks.time, 0, buffers["time_pe"].shape[0] - 1)
+    cpos = jnp.where(click_valid[..., None],
+                     cpos + buffers["time_pe"][t_safe], 0)
+    cfeat = jnp.where(click_valid[..., None], cfeat, 0)
+
+    bg_feat = jnp.broadcast_to(params["bg_query_feat"][None], (b, nbq, c))
+    bg_pos = jnp.broadcast_to(params["bg_query_pos"][None], (b, nbq, c))
+    queries = jnp.concatenate([bg_feat, cfeat], axis=1)
+    query_pos = jnp.concatenate([bg_pos, cpos], axis=1)
+    query_obj = jnp.concatenate(
+        [jnp.zeros((b, nbq), jnp.int32), clicks.obj], axis=1)
+    query_valid = jnp.concatenate(
+        [jnp.ones((b, nbq), bool), click_valid], axis=1)
+
+    q_key_bias = jnp.where(query_valid, 0.0, NEG_INF)[:, None, :]
+    col_valid = jnp.arange(n_cols)[None, :] <= num_obj[:, None]
+    safe_obj = jnp.clip(query_obj, 0, n_cols - 1)
+
+    src = mask_feat_l
+    # compact round-bias state (labels shard-local, present global)
+    labels_l = jnp.zeros((b, nl), jnp.int32)
+    present = jnp.zeros((b, n_cols), bool)
+    preds = []
+    # Same (decoder, hlevel-slot) weight schedule as the single-chip
+    # forward_mask (models/agile3d.py:356-359, reference
+    # agile3d.py:273-276); chunk picked from the PER-SHARD voxel count
+    # so intra-shard logits stay bounded too.
+    n_slots = len(cfg.hlevels)
+    chunk = _pick_attn_chunk(nl, b * queries.shape[1] * nl * heads, cfg)
+    for r in range(cfg.num_decoders):
+        d_idx = 0 if cfg.shared_decoder else r
+        for i in range(n_slots):
+            dp = params["decoders"][d_idx * n_slots + i]
+            bias_fn = _round_bias_chunk(labels_l, present, safe_obj,
+                                        valid_l)
+            queries = _cross_attn_sharded_keys(
+                dp["c2s"], queries, src, heads, pos_local=pos_pcd_l,
+                query_pos=query_pos,
+                bias_local=None, bias_fn=bias_fn, axis=axis,
+                chunk=chunk)
+            queries = self_attention_layer(
+                dp["c2c"], queries, heads, query_pos=query_pos,
+                attn_bias=q_key_bias, pre_norm=cfg.pre_norm)
+            queries = ffn_layer(dp["ffn"], queries,
+                                pre_norm=cfg.pre_norm)
+            src = cross_attention_layer(
+                dp["s2c"], src, queries, heads, pos=query_pos,
+                query_pos=pos_pcd_l,
+                attn_bias=q_key_bias,  # [B, 1, Q] shared key row
+                pre_norm=cfg.pre_norm, chunk_queries=chunk)
+            masks, labels_l, present = _sp_mask_module(
+                params, queries, src, query_obj, query_valid, col_valid,
+                valid_l, axis)
+            # pin the round carry to the decoder compute dtype, exactly
+            # as the single-chip round_body does (models/agile3d.py):
+            # the f32 pos/bias terms otherwise promote rounds 2+ to f32
+            queries = queries.astype(mask_feat_l.dtype)
+            src = src.astype(mask_feat_l.dtype)
+            preds.append(masks)
+    return jnp.stack(preds)  # [R, B, Nl, 1+K] sharded over Nl
+
+
 def make_forward_mask_sp(mesh: Mesh, cfg: ModelConfig):
     """Returns a jitted forward_mask whose voxel axis is sharded over the
     mesh's 'sp' axis. Inputs use the same SceneFeatures/ClickState as the
@@ -156,93 +251,9 @@ def make_forward_mask_sp(mesh: Mesh, cfg: ModelConfig):
         raise NotImplementedError(
             "hlevels entries must all be 4 (same constraint as the "
             "single-chip forward_mask, models/agile3d.py:302-307)")
-    n_sp = mesh.shape["sp"]
     axis = "sp"
-    nbq, heads = cfg.num_bg_queries, cfg.num_heads
-    n_cols = 1 + cfg.max_fg_objects
 
-    def local_fn(params, buffers, mask_feat_l, pos_pcd_l, valid_l, raw_l,
-                 cmin, cmax, clicks, num_obj):
-        b, nl, c = mask_feat_l.shape
-        shard = jax.lax.axis_index(axis)
-        lo = shard * nl
-
-        # assemble click features/coords across shards (one psum each)
-        click_valid = clicks.vox >= 0
-        local_idx = clicks.vox - lo
-        in_shard = click_valid & (local_idx >= 0) & (local_idx < nl)
-        safe = jnp.clip(local_idx, 0, nl - 1)
-        cfeat = jnp.where(
-            in_shard[..., None],
-            jnp.take_along_axis(mask_feat_l, safe[..., None], axis=1), 0)
-        cxyz = jnp.where(
-            in_shard[..., None],
-            jnp.take_along_axis(raw_l, safe[..., None], axis=1), 0)
-        cfeat = jax.lax.psum(cfeat, axis)
-        cxyz = jax.lax.psum(cxyz, axis)
-
-        cpos = _pos_enc(cxyz, buffers, cmin[:, None, :], cmax[:, None, :],
-                        cfg)
-        t_safe = jnp.clip(clicks.time, 0, buffers["time_pe"].shape[0] - 1)
-        cpos = jnp.where(click_valid[..., None],
-                         cpos + buffers["time_pe"][t_safe], 0)
-        cfeat = jnp.where(click_valid[..., None], cfeat, 0)
-
-        bg_feat = jnp.broadcast_to(params["bg_query_feat"][None], (b, nbq, c))
-        bg_pos = jnp.broadcast_to(params["bg_query_pos"][None], (b, nbq, c))
-        queries = jnp.concatenate([bg_feat, cfeat], axis=1)
-        query_pos = jnp.concatenate([bg_pos, cpos], axis=1)
-        query_obj = jnp.concatenate(
-            [jnp.zeros((b, nbq), jnp.int32), clicks.obj], axis=1)
-        query_valid = jnp.concatenate(
-            [jnp.ones((b, nbq), bool), click_valid], axis=1)
-
-        q_key_bias = jnp.where(query_valid, 0.0, NEG_INF)[:, None, :]
-        col_valid = jnp.arange(n_cols)[None, :] <= num_obj[:, None]
-        safe_obj = jnp.clip(query_obj, 0, n_cols - 1)
-
-        src = mask_feat_l
-        # compact round-bias state (labels shard-local, present global)
-        labels_l = jnp.zeros((b, nl), jnp.int32)
-        present = jnp.zeros((b, n_cols), bool)
-        preds = []
-        # Same (decoder, hlevel-slot) weight schedule as the single-chip
-        # forward_mask (models/agile3d.py:356-359, reference
-        # agile3d.py:273-276); chunk picked from the PER-SHARD voxel count
-        # so intra-shard logits stay bounded too.
-        n_slots = len(cfg.hlevels)
-        chunk = _pick_attn_chunk(nl, b * queries.shape[1] * nl * heads, cfg)
-        for r in range(cfg.num_decoders):
-            d_idx = 0 if cfg.shared_decoder else r
-            for i in range(n_slots):
-                dp = params["decoders"][d_idx * n_slots + i]
-                bias_fn = _round_bias_chunk(labels_l, present, safe_obj,
-                                            valid_l)
-                queries = _cross_attn_sharded_keys(
-                    dp["c2s"], queries, src, heads, pos_local=pos_pcd_l,
-                    query_pos=query_pos,
-                    bias_local=None, bias_fn=bias_fn, axis=axis,
-                    chunk=chunk)
-                queries = self_attention_layer(
-                    dp["c2c"], queries, heads, query_pos=query_pos,
-                    attn_bias=q_key_bias, pre_norm=cfg.pre_norm)
-                queries = ffn_layer(dp["ffn"], queries,
-                                    pre_norm=cfg.pre_norm)
-                src = cross_attention_layer(
-                    dp["s2c"], src, queries, heads, pos=query_pos,
-                    query_pos=pos_pcd_l,
-                    attn_bias=q_key_bias,  # [B, 1, Q] shared key row
-                    pre_norm=cfg.pre_norm, chunk_queries=chunk)
-                masks, labels_l, present = _sp_mask_module(
-                    params, queries, src, query_obj, query_valid, col_valid,
-                    valid_l, axis)
-                # pin the round carry to the decoder compute dtype, exactly
-                # as the single-chip round_body does (models/agile3d.py):
-                # the f32 pos/bias terms otherwise promote rounds 2+ to f32
-                queries = queries.astype(mask_feat_l.dtype)
-                src = src.astype(mask_feat_l.dtype)
-                preds.append(masks)
-        return jnp.stack(preds)  # [R, B, Nl, 1+K] sharded over Nl
+    local_fn = functools.partial(forward_mask_local, cfg=cfg, axis=axis)
 
     sharded = jax.shard_map(
         local_fn, mesh=mesh,

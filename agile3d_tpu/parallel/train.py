@@ -295,9 +295,11 @@ def dp_train_one_epoch(cfg: Config, mesh: Mesh, params, buffers, bn_state,
             raise FloatingPointError(
                 f"Loss is {tot}, stopping training "
                 f"(reference engine.py:139-142 guard)")
+        # only the configured loss keys exist (--losses bce / dice drops
+        # the other; criterion_forward emits exactly cfg.loss.losses)
         logger.update(loss=tot, grad_norm=float(gnorm), mIoU=float(miou),
-                      loss_bce=float(losses["loss_bce"]),
-                      loss_dice=float(losses["loss_dice"]))
+                      **{k: float(v) for k, v in losses.items()
+                         if k in ("loss_bce", "loss_dice")})
 
     logger.synchronize_between_processes()
     log(f"Averaged stats: {logger}")

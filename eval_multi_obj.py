@@ -57,7 +57,8 @@ def get_args_parser():
                    help=argparse.SUPPRESS)  # legacy alias of the default
     # TPU-native addition: voxel-axis sequence parallelism over sp chips
     # (parallel/sp.py, SURVEY section 5.7) for scenes beyond one chip's
-    # HBM (KITTI-360 scale). Implies the host rollout loop.
+    # HBM (KITTI-360 scale). Composes with the on-device rollout scan
+    # (parallel/sp_rollout.py) — the default path either way.
     p.add_argument("--sp", default=1, type=int,
                    help="shard the decoder's voxel axis over this many "
                         "devices (1 = single chip)")
@@ -116,14 +117,10 @@ def main(args):
     else:
         engine = InteractiveEngine(cfg, sp=args.sp,
                                    sp_backbone=args.sp_backbone)
-        if args.sp > 1 and not args.host_rollout:
-            print(f"--sp {args.sp}: using the host rollout loop (the "
-                  "on-device scan is single-chip)")
         evaluate_dataset(engine, params, buffers, bn_state, dataset,
                          results_file, mode="multi",
                          max_num_clicks=args.max_num_clicks, seed=args.seed,
-                         device_rollout=not args.host_rollout
-                         and args.sp == 1)
+                         device_rollout=not args.host_rollout)
 
     evaluator = EvaluatorMO(args.val_list, results_file,
                             [0.5, 0.65, 0.8, 0.85, 0.9])

@@ -117,6 +117,9 @@ def _wandb():
 
 
 def main(args):
+    if args.ckpt_epochs < 1:
+        raise SystemExit(f"--ckpt_epochs must be >= 1, got "
+                         f"{args.ckpt_epochs}")
     apply_device_arg(args)
 
     from agile3d_tpu.utils.cache import enable_compilation_cache
@@ -201,7 +204,11 @@ def main(args):
             # main.py:190-195) + archival copies every 20 epochs / before
             # LR drops, exactly as the reference
             paths = []
-            if (epoch + 1) % args.ckpt_epochs == 0:
+            # always refresh the rolling checkpoint at the final epoch so a
+            # completed run never ends with stale resumable state when
+            # --ckpt_epochs does not divide --epochs
+            if ((epoch + 1) % args.ckpt_epochs == 0
+                    or epoch + 1 == args.epochs):
                 paths.append(output_dir / "checkpoint")
             if (epoch + 1) in args.lr_drop or (epoch + 1) % 20 == 0:
                 paths.append(output_dir / f"checkpoint{epoch:04d}")
