@@ -192,8 +192,20 @@ DEFAULT_VOXEL_BUCKETS = (
 
 
 def bucket_size(n: int, buckets: Sequence[int] = DEFAULT_VOXEL_BUCKETS) -> int:
-    """Smallest bucket >= n (last bucket if n exceeds all)."""
+    """Smallest bucket >= n; beyond the ladder, auto-extend so arbitrarily
+    large scenes pad and compile instead of crashing in collation (the
+    reference's answer to huge scans is "crop", demo.md:39,70; this
+    framework's is: run it, and let the engine's HBM pre-check route truly
+    over-budget scenes to --sp or an actionable error —
+    engine/eval.check_single_chip_rows).
+
+    Extension quantum: voxel-style ladders (top rung a multiple of 8192)
+    grow in 8192 steps, preserving chunked-attention and Pallas BLOCK_N=512
+    divisibility; other ladders (e.g. the round-count buckets in
+    engine/device_eval.py, top rung 224) grow in top-rung multiples so a
+    224-round scan never pads to 8192 rounds."""
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    q = 8192 if buckets[-1] % 8192 == 0 else buckets[-1]
+    return -(-n // q) * q

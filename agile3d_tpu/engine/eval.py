@@ -29,6 +29,35 @@ from agile3d_tpu.engine.clicks import (
 from agile3d_tpu.models.agile3d import ClickState, forward_backbone, forward_mask
 
 
+class SceneTooLargeError(ValueError):
+    """A scene's padded voxel count exceeds the single-chip HBM budget.
+
+    Raised by check_single_chip_rows with the remedies in the message; the
+    eval CLIs catch it and exit with the one-line message instead of a
+    traceback (the reference's answer is "crop", demo.md:39,70)."""
+
+
+def check_single_chip_rows(n_rows: int) -> None:
+    """Actionable pre-check before a single-chip backbone run: estimate the
+    eval footprint at this padded row count (utils/costs.eval_hbm_gib,
+    measured anchor) against one chip's HBM, so an over-budget scene fails
+    with the remedies in one line instead of a device OOM mid-UNet.
+    Budget override for tests / other chips: AGILE3D_HBM_GIB."""
+    import os
+
+    from agile3d_tpu.utils.costs import SINGLE_CHIP_HBM_GIB, eval_hbm_gib
+
+    budget = float(os.environ.get("AGILE3D_HBM_GIB", SINGLE_CHIP_HBM_GIB))
+    est = eval_hbm_gib(n_rows)
+    if est > budget:
+        raise SceneTooLargeError(
+            f"scene pads to {n_rows} voxel rows (~{est:.1f} GiB estimated "
+            f"eval footprint > {budget:.2f} GiB single-chip HBM): rerun "
+            f"with --sp N --sp_backbone to shard the voxel axis over N "
+            f"chips, crop the scan (reference demo.md guidance), or raise "
+            f"the voxel size")
+
+
 class InteractiveEngine:
     """Holds jitted model entry points (weights are donated per call so the
     same engine serves training checkpoints as they evolve).
@@ -149,6 +178,7 @@ class InteractiveEngine:
                      training=False):
         if self.sp_backbone and not training:
             return self._run_backbone_sp(params, buffers, bn_state, batch)
+        check_single_chip_rows(batch.pyramid.levels[0].grid.shape[0])
         pyr, feats, raw, sample_idx = self.device_batch(batch)
         return self._backbone(params, buffers, bn_state, pyr, feats, raw,
                               sample_idx, training=training)

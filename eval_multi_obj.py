@@ -9,6 +9,7 @@ per-round IoU CSV, and reports NoC@tau / IoU@k through EvaluatorMO.
 import argparse
 import os
 import random
+import sys
 from pathlib import Path
 
 import numpy as np
@@ -17,7 +18,8 @@ from agile3d_tpu.cli import (
     add_reference_model_flags, apply_device_arg, model_config_from_args)
 from agile3d_tpu.config import Config, TrainConfig
 from agile3d_tpu.data.datasets import build_dataset
-from agile3d_tpu.engine.eval import InteractiveEngine, evaluate_dataset
+from agile3d_tpu.engine.eval import (
+    InteractiveEngine, SceneTooLargeError, evaluate_dataset)
 from agile3d_tpu.evaluation import EvaluatorMO
 from agile3d_tpu.utils.ckpt import load_model_weights
 
@@ -133,4 +135,7 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser(
         "Evaluation script for interactive multi-object segmentation",
         parents=[get_args_parser()])
-    main(parser.parse_args())
+    try:
+        main(parser.parse_args())
+    except SceneTooLargeError as e:
+        sys.exit(f"error: {e}")
