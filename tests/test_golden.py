@@ -14,7 +14,9 @@ import os
 import numpy as np
 import pytest
 
-from tools.make_golden import GOLDEN_CSV, MAX_CLICKS, ROLLOUT_SEED, generate
+from tools.make_golden import (
+    GOLDEN_CSV, GOLDEN_MULTI_BF16_CSV, GOLDEN_SINGLE_CSV, MAX_CLICKS,
+    NUM_OBJ, ROLLOUT_SEED, generate)
 
 pytestmark = pytest.mark.slow  # full flagship backbone rollout on CPU
 
@@ -45,6 +47,42 @@ def test_golden_rollout_exact(tmp_path):
         raise AssertionError(
             "golden rollout drifted (tools/make_golden.py regenerates "
             "after INTENDED numeric changes):\n" + "\n".join(diffs[:8]))
+
+
+def test_golden_single_object_protocol_exact(tmp_path):
+    """Single-object InterObject3D-protocol golden (VERDICT r4 task 6):
+    fixed {'0','1'} click dict, +1 click per round, absolute click counts
+    (reference eval_single_obj.py:108,164). Byte-for-byte replay."""
+    out = str(tmp_path / "replay_single.csv")
+    generate(out, str(tmp_path / "bench"), mode="single")
+    got, want = open(out).read(), open(GOLDEN_SINGLE_CSV).read()
+    assert got == want, "single-object golden drifted"
+    rows = [r.split(" ") for r in want.strip().split("\n")]
+    # NUM_OBJ instances x rounds 0..MAX_CLICKS, absolute counts
+    assert len(rows) == NUM_OBJ * (MAX_CLICKS + 1)
+    assert [r[3] for r in rows[: MAX_CLICKS + 1]] == [
+        str(k) for k in range(MAX_CLICKS + 1)]
+
+
+def test_golden_serving_config_bf16_exact(tmp_path):
+    """The production serving config (decoder_dtype=bfloat16, README) gets
+    its own byte-exact pin: bf16 is deterministic on the CPU backend, so
+    this replay is exact — stronger than a tolerance band. Cross-dtype
+    (bf16 vs f32) trajectories are NOT band-comparable at random weights:
+    a sub-ulp logit shift flips a click-simulator argmax and the rollouts
+    chaotically diverge (observed row-5 IoU 0.095 f32 vs 0.012 bf16), which
+    is exactly why the bf16 path needs its own golden rather than a
+    tolerance against the f32 one."""
+    out = str(tmp_path / "replay_bf16.csv")
+    generate(out, str(tmp_path / "bench"), decoder_dtype="bfloat16")
+    got, want = open(out).read(), open(GOLDEN_MULTI_BF16_CSV).read()
+    if got != want:
+        g = got.strip().split("\n")
+        w = want.strip().split("\n")
+        diffs = [f"  row {i}: got {a!r} want {b!r}"
+                 for i, (a, b) in enumerate(zip(g, w)) if a != b]
+        raise AssertionError(
+            "bf16 serving-config golden drifted:\n" + "\n".join(diffs[:8]))
 
 
 def test_golden_rollout_device_tolerance(tmp_path):
