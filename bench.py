@@ -148,7 +148,7 @@ def main():
     from agile3d_tpu.models.agile3d import init_agile3d
     from agile3d_tpu.data.datasets import SceneSample, collate_scenes
     from agile3d_tpu.sparse.quantize import sparse_quantize
-    from tests.synthetic import make_scene
+    from agile3d_tpu.data.synthetic import make_scene
 
     cfg = Config()
     rng = np.random.default_rng(0)
@@ -250,6 +250,30 @@ def main():
           f"{bb_ms:.1f} ms; forward_mask per-dispatch overhead "
           f"~{fm_stats.get('B_ms', float('nan')):.0f} ms", file=sys.stderr)
 
+    # analytic FLOPs/bytes accounting -> MFU + roofline position
+    # (utils/costs.py, cross-checked against XLA cost analysis in
+    # tests/test_costs.py). 'useful' counts valid work (honest MFU);
+    # 'padded' counts what the compiled gather-GEMMs actually issue.
+    from agile3d_tpu.utils.costs import (
+        backbone_costs, decoder_costs, stage_table, summarize)
+
+    bb_costs = backbone_costs(batch.pyramid, cfg.model.backbone)
+    bb_roof = summarize(bb_costs, measured_s=bb_ms / 1e3)
+    bb_roof["padded_flops"] = summarize(
+        backbone_costs(batch.pyramid, cfg.model.backbone,
+                       padded=True))["model_flops"]
+    fm_costs = decoder_costs(scene.mask_feat.shape[1],
+                             cfg.model.num_bg_queries + mc, cfg.model)
+    fm_roof = summarize(fm_costs, measured_s=p50 / 1e3)
+    print(f"roofline: forward_mask {fm_roof['achieved_tflops']} TFLOP/s "
+          f"({fm_roof['frac_of_roofline']:.0%} of its per-op hardware "
+          f"floor {fm_roof['roofline_floor_ms']} ms); backbone "
+          f"{bb_roof['achieved_tflops']} TFLOP/s "
+          f"({bb_roof['frac_of_roofline']:.0%} of floor "
+          f"{bb_roof['roofline_floor_ms']} ms; gather-GEMM cost model "
+          f"would predict {bb_roof['gather_model_ms']} ms)",
+          file=sys.stderr)
+
     print(json.dumps({
         "metric": "per_click_forward_mask_p50_latency",
         "value": round(p50, 3),
@@ -263,6 +287,15 @@ def main():
                          "draws": bb_stats.get("draws", [])},
             "forward_mask": {"n1": 20, "n2": 160,
                              "draws": fm_stats.get("draws", [])},
+        },
+        # MFU/roofline accounting (VERDICT r4 task 2): model_flops,
+        # achieved_tflops, achieved_gbps, frac_of_peak_mxu and position
+        # vs the summed per-op roofline floor, per program; plus the
+        # backbone's per-stage breakdown for the PERF.md table
+        "roofline": {
+            "backbone": bb_roof,
+            "forward_mask": fm_roof,
+            "backbone_stages": stage_table(bb_costs),
         },
     }))
 

@@ -27,7 +27,7 @@ def main(batch_size=5, n_points=150000):
     from agile3d_tpu.engine.train import make_optimizer, make_train_step
     from agile3d_tpu.models.agile3d import ClickState, init_agile3d
     from agile3d_tpu.sparse.quantize import sparse_quantize
-    from tests.synthetic import make_scene
+    from agile3d_tpu.data.synthetic import make_scene
 
     def fence(x):
         return float(jax.tree_util.tree_leaves(x)[0].reshape(-1)[0]

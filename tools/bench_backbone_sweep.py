@@ -23,7 +23,7 @@ from agile3d_tpu.models.backbone import backbone_forward, init_backbone
 from agile3d_tpu.sparse import build_pyramid, pad_pyramid
 from agile3d_tpu.sparse.grid import pad_features
 from agile3d_tpu.sparse.quantize import sparse_quantize
-from tests.synthetic import make_scene
+from agile3d_tpu.data.synthetic import make_scene
 
 scan_blocks = os.environ.get("AGILE3D_SCAN_BLOCKS") == "1"
 strip_conv = os.environ.get("AGILE3D_STRIP_CONV", "1") == "1"

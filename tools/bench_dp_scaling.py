@@ -41,7 +41,7 @@ def main():
     from agile3d_tpu.parallel import make_mesh
     from agile3d_tpu.parallel.train import dp_train_one_epoch, make_dp_train_step
     from agile3d_tpu.sparse.quantize import sparse_quantize
-    from tests.synthetic import make_scene
+    from agile3d_tpu.data.synthetic import make_scene
 
     small_bb = BackboneConfig(init_dim=8, planes=(8,) * 8, layers=(1,) * 8)
     cfg = Config(model=ModelConfig(max_clicks=32, hidden_dim=32,

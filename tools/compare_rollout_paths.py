@@ -78,7 +78,7 @@ def main():
     from agile3d_tpu.engine.eval import InteractiveEngine
     from agile3d_tpu.evaluation import EvaluatorMO
     from agile3d_tpu.models.agile3d import init_agile3d
-    from tests.synthetic import write_benchmark
+    from agile3d_tpu.data.synthetic import write_benchmark
 
     os.makedirs(args.out, exist_ok=True)
     cfg = Config(model=ModelConfig(max_clicks=256))

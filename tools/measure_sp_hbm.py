@@ -53,7 +53,7 @@ def main():
     from agile3d_tpu.parallel.sp_backbone import (
         make_forward_backbone_sp, partition_pyramid)
     from agile3d_tpu.sparse.quantize import sparse_quantize
-    from tests.synthetic import make_scene
+    from agile3d_tpu.data.synthetic import make_scene
 
     cfg = Config(buckets=tuple(DEFAULT_VOXEL_BUCKETS) + (1572864, 2097152))
     rng = np.random.default_rng(0)

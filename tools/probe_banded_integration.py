@@ -70,7 +70,7 @@ def main():
     from agile3d_tpu.models.agile3d import init_agile3d, forward_backbone
     from agile3d_tpu.data.datasets import SceneSample, collate_scenes
     from agile3d_tpu.sparse.quantize import sparse_quantize
-    from tests.synthetic import make_scene
+    from agile3d_tpu.data.synthetic import make_scene
 
     which = set(sys.argv[1:]) or {"A", "B", "C", "D", "E"}
 

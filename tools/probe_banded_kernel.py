@@ -212,7 +212,7 @@ def main():
     from agile3d_tpu.ops.sparse_conv import sparse_conv
     from agile3d_tpu.sparse import build_pyramid, pad_pyramid
     from agile3d_tpu.sparse.quantize import sparse_quantize
-    from tests.synthetic import make_scene
+    from agile3d_tpu.data.synthetic import make_scene
 
     cfg = Config()
     rng = np.random.default_rng(0)

@@ -44,7 +44,7 @@ def main():
                                             init_agile3d)
     from agile3d_tpu.data.datasets import SceneSample, collate_scenes
     from agile3d_tpu.sparse.quantize import sparse_quantize
-    from tests.synthetic import make_scene
+    from agile3d_tpu.data.synthetic import make_scene
 
     cfg = Config()
     rng = np.random.default_rng(0)

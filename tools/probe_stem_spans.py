@@ -21,7 +21,7 @@ sys.path.insert(0, ".")
 from agile3d_tpu.config import Config
 from agile3d_tpu.sparse.kernel_maps import build_pyramid
 from agile3d_tpu.sparse.quantize import sparse_quantize
-from tests.synthetic import make_scene
+from agile3d_tpu.data.synthetic import make_scene
 
 
 def main():

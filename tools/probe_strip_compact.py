@@ -36,7 +36,7 @@ def main():
     from agile3d_tpu.sparse import build_pyramid, pad_pyramid
     from agile3d_tpu.sparse.grid import pad_features
     from agile3d_tpu.sparse.quantize import sparse_quantize
-    from tests.synthetic import make_scene
+    from agile3d_tpu.data.synthetic import make_scene
 
     which = set(sys.argv[1:]) or {"stem", "bb"}
 

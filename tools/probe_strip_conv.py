@@ -21,7 +21,7 @@ from agile3d_tpu.config import Config
 from agile3d_tpu.ops.sparse_conv import sparse_conv, sparse_conv_strips
 from agile3d_tpu.sparse import build_pyramid, pad_pyramid
 from agile3d_tpu.sparse.quantize import sparse_quantize
-from tests.synthetic import make_scene
+from agile3d_tpu.data.synthetic import make_scene
 
 
 def fence(v):

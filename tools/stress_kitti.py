@@ -83,7 +83,7 @@ def main():
     from agile3d_tpu.models.agile3d import ClickState, forward_mask, init_agile3d
     from agile3d_tpu.sparse.quantize import sparse_quantize
     from agile3d_tpu.utils.profiling import device_memory_stats
-    from tests.synthetic import make_scene
+    from agile3d_tpu.data.synthetic import make_scene
 
     from agile3d_tpu.config import DEFAULT_VOXEL_BUCKETS
 

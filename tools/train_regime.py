@@ -29,7 +29,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from tests.synthetic import write_benchmark
+from agile3d_tpu.data.synthetic import write_benchmark
 
 
 def main():

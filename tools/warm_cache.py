@@ -51,7 +51,7 @@ def main():
     from agile3d_tpu.engine.eval import InteractiveEngine
     from agile3d_tpu.models.agile3d import ClickState, init_agile3d
     from agile3d_tpu.sparse.quantize import sparse_quantize
-    from tests.synthetic import make_scene
+    from agile3d_tpu.data.synthetic import make_scene
 
     cfg = Config()
     params, buffers, bn_state = init_agile3d(jax.random.PRNGKey(0), cfg.model)
