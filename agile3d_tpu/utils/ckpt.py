@@ -14,9 +14,14 @@ args} every epoch (reference main.py:190-202) and releases
     the default table is verified against two independent derivations of
     ME's region-iterator semantics — the analytic digit-reversal
     (sparse/kernel_maps.me_kernel_perm) and a literal simulation of ME's
-    C++ iterator (tests/test_kernel_perm.py) — and stays configurable via
-    ``kernel_perm`` for the final day-zero check vs checkpoint1099.pth
-    per RUNBOOK.md).
+    C++ iterator (tests/test_kernel_perm.py) — plus a foreign-layout
+    round-trip: artifacts minted in the reference's own layouts (torch
+    nn.MultiheadAttention in_proj packing with the module's forward as
+    oracle, torch BN buffers, ME-iterator-ordered kernel slices) convert
+    to activation/semantic parity (tests/test_foreign_ckpt.py). The table
+    stays configurable via ``kernel_perm``; what remains unproven offline
+    is only the VALUE check against the released checkpoint1099.pth
+    weights (day-zero plan: RUNBOOK.md).
 """
 
 from __future__ import annotations
