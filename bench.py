@@ -250,6 +250,36 @@ def main():
           f"{bb_ms:.1f} ms; forward_mask per-dispatch overhead "
           f"~{fm_stats.get('B_ms', float('nan')):.0f} ms", file=sys.stderr)
 
+    # the production serving config (decoder_dtype=bfloat16, golden-pinned
+    # by tests/golden/rollout_multi_bf16.csv) measured alongside: halves
+    # the decoder's HBM streams, which the roofline says is its binding
+    # resource at this scale (VERDICT r4 task 9)
+    import dataclasses
+
+    cfg_bf16 = dataclasses.replace(cfg.model, decoder_dtype="bfloat16")
+    fm16_stats = {}
+
+    def make_mask_loop_bf16(draw):
+        eps = 1e-38 + (draw + 48 * SALT) * 1e-40
+
+        @jax.jit
+        def loop(params, buffers, scene, cs, num_obj, n):
+            def body(_, feat):
+                sc = scene._replace(mask_feat=feat)
+                out = forward_mask(params, buffers, sc, cs, num_obj,
+                                   cfg=cfg_bf16)
+                pred = jnp.argmax(out["pred_masks"], -1)
+                return feat + pred[..., :1].astype(jnp.float32) * eps
+
+            return jax.lax.fori_loop(0, n, body, scene.mask_feat)
+
+        return loop, (params, buffers, scene, cs_b, num_obj_dev)
+
+    p50_bf16 = min_over_draws(make_mask_loop_bf16, "forward_mask_bf16",
+                              20, 160, fm16_stats)
+    print(f"forward_mask serving config (bf16 decoder): {p50_bf16:.2f} ms",
+          file=sys.stderr)
+
     # analytic FLOPs/bytes accounting -> MFU + roofline position
     # (utils/costs.py, cross-checked against XLA cost analysis in
     # tests/test_costs.py). 'useful' counts valid work (honest MFU);
@@ -265,6 +295,10 @@ def main():
     fm_costs = decoder_costs(scene.mask_feat.shape[1],
                              cfg.model.num_bg_queries + mc, cfg.model)
     fm_roof = summarize(fm_costs, measured_s=p50 / 1e3)
+    fm16_roof = summarize(
+        decoder_costs(scene.mask_feat.shape[1],
+                      cfg.model.num_bg_queries + mc, cfg.model,
+                      dtype_bytes=2), measured_s=p50_bf16 / 1e3)
     print(f"roofline: forward_mask {fm_roof['achieved_tflops']} TFLOP/s "
           f"({fm_roof['frac_of_roofline']:.0%} of its per-op hardware "
           f"floor {fm_roof['roofline_floor_ms']} ms); backbone "
@@ -287,6 +321,9 @@ def main():
                          "draws": bb_stats.get("draws", [])},
             "forward_mask": {"n1": 20, "n2": 160,
                              "draws": fm_stats.get("draws", [])},
+            "forward_mask_bf16": {"n1": 20, "n2": 160,
+                                  "T_ms": round(p50_bf16, 3),
+                                  "draws": fm16_stats.get("draws", [])},
         },
         # MFU/roofline accounting (VERDICT r4 task 2): model_flops,
         # achieved_tflops, achieved_gbps, frac_of_peak_mxu and position
@@ -295,6 +332,7 @@ def main():
         "roofline": {
             "backbone": bb_roof,
             "forward_mask": fm_roof,
+            "forward_mask_bf16": fm16_roof,
             "backbone_stages": stage_table(bb_costs),
         },
     }))

@@ -40,11 +40,14 @@ def get_args_parser():
                    help="terminal REPL instead of the web GUI")
     p.add_argument("--host", default="127.0.0.1", type=str)
     p.add_argument("--port", default=8008, type=int)
-    p.add_argument("--decoder_dtype", default="float32",
+    p.add_argument("--decoder_dtype", default="bfloat16",
                    choices=("float32", "bfloat16"),
-                   help="bfloat16 = lower per-click latency at large scenes "
-                        "(34.3 -> 27.4 ms at 670k voxels, PERF.md round 4); "
-                        "float32 preserves exact reference parity")
+                   help="serving default is bfloat16: lower per-click "
+                        "latency at large scenes (34.3 -> 27.4 ms at 670k "
+                        "voxels, PERF.md round 4), with its own frozen "
+                        "golden (tests/golden/rollout_multi_bf16.csv). "
+                        "Pass float32 for exact reference-parity numerics "
+                        "(the eval CLIs' default)")
     return p
 
 

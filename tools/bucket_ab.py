@@ -1,0 +1,138 @@
+"""Same-session bucket A/B sweep: pin or refute the large-bucket backbone
+cliff (VERDICT r4 task 3).
+
+Round 4 observed ~3x worse per-voxel backbone cost at the 786k bucket vs
+196k, measured across different sessions, and PERF.md hedged it as
+"order-of-magnitude" due to tunnel variance. This tool removes the
+confound: ONE process, ONE master scene subsampled to each bucket's
+occupancy, every bucket timed with the same two-length dispatch-overhead
+extrapolation bench.py uses, and the WHOLE sweep run twice (pass A, then
+pass B, interleaved compiles long gone) so environment drift between the
+passes is visible per bucket.
+
+Usage: python tools/bucket_ab.py [--buckets 196608,262144,393216,524288,786432]
+Prints a table + one JSON line {bucket: {valid, A_ms, B_ms, ms_per_mvox}}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time  # noqa: F401  (kept for parity with bench timing imports)
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--buckets", default="196608,262144,393216,524288,786432")
+    ap.add_argument("--fill", type=float, default=0.92,
+                    help="valid-voxel fraction of each bucket")
+    ap.add_argument("--n1", type=int, default=4)
+    ap.add_argument("--n2", type=int, default=32)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+    targets = [int(b) for b in args.buckets.split(",")]
+
+    import jax
+    import jax.numpy as jnp
+
+    from agile3d_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from bench import min_over_draws
+    from agile3d_tpu.config import Config
+    from agile3d_tpu.data.synthetic import make_scene
+    from agile3d_tpu.models.backbone import backbone_forward, init_backbone
+    from agile3d_tpu.sparse import build_pyramid, pad_pyramid
+    from agile3d_tpu.sparse.grid import pad_features
+    from agile3d_tpu.sparse.quantize import sparse_quantize
+
+    cfg = Config()
+    bcfg = cfg.model.backbone
+
+    # master scene: enough unique voxels to fill the largest target
+    need = int(max(targets) * args.fill)
+    rng = np.random.default_rng(0)
+    n_pts, extent = 1_600_000, 70.0
+    coords, colors, _ = make_scene(rng, n_points=n_pts, num_obj=8,
+                                   extent=extent)
+    coords += rng.standard_normal(coords.shape).astype(np.float32) * 0.03
+    vox, umap, _ = sparse_quantize(coords, cfg.model.voxel_size)
+    while len(vox) < need:   # grow extent until the master is big enough
+        extent *= 1.3
+        coords, colors, _ = make_scene(rng, n_points=n_pts, num_obj=8,
+                                       extent=extent)
+        coords += rng.standard_normal(coords.shape).astype(np.float32) * 0.03
+        vox, umap, _ = sparse_quantize(coords, cfg.model.voxel_size)
+    feats_all = colors[umap].astype(np.float32) / 255.0
+    print(f"master scene: {len(vox)} voxels (extent {extent:.0f})",
+          file=sys.stderr)
+
+    params, state = init_backbone(jax.random.PRNGKey(0), bcfg)
+
+    # per-bucket padded pyramids from nested subsamples of the master
+    prepared = {}
+    order = rng.permutation(len(vox))
+    for b in targets:
+        take = np.sort(order[: int(b * args.fill)])
+        pyr = pad_pyramid(build_pyramid(vox[take]), buckets=cfg.buckets)
+        n0 = pyr.levels[0].grid.shape[0]
+        assert n0 == b, (n0, b)
+        x = jnp.asarray(pad_features(feats_all[take], n0))
+        prepared[b] = (pyr, x, len(take))
+        print(f"bucket {b}: {len(take)} valid voxels", file=sys.stderr)
+
+    def time_bucket(b, tag):
+        pyr, x, _ = prepared[b]
+
+        def make_loop(draw):
+            eps = 1e-38 + draw * 1e-40
+
+            @jax.jit
+            def loop(params, state, x, n):
+                def body(_, f):
+                    fm, _ = backbone_forward(params, state, pyr, f,
+                                             training=False, cfg=bcfg)
+                    s = jnp.sum(fm[-1].astype(jnp.float32))
+                    return x * (1.0 + s * eps)
+
+                return jnp.sum(jax.lax.fori_loop(0, n, body, x)) * eps
+
+            return loop, (params, state, x)
+
+        stats = {}
+        ms = min_over_draws(make_loop, f"{tag}/bucket{b}", args.n1, args.n2,
+                            stats)
+        return ms, stats
+
+    results = {b: {"valid": prepared[b][2]} for b in targets}
+    for tag in ("A", "B"):
+        for b in targets:
+            ms, stats = time_bucket(b, tag)
+            results[b][f"{tag}_ms"] = round(ms, 2)
+            results[b][f"{tag}_draws"] = stats.get("draws", [])
+
+    print(f"\n{'bucket':>8} {'valid':>8} {'A ms':>9} {'B ms':>9} "
+          f"{'A ms/Mvox':>10} {'B ms/Mvox':>10} {'B/A':>6}", file=sys.stderr)
+    for b in targets:
+        r = results[b]
+        r["A_ms_per_mvox"] = round(r["A_ms"] / (r["valid"] / 1e6), 2)
+        r["B_ms_per_mvox"] = round(r["B_ms"] / (r["valid"] / 1e6), 2)
+        print(f"{b:>8} {r['valid']:>8} {r['A_ms']:>9} {r['B_ms']:>9} "
+              f"{r['A_ms_per_mvox']:>10} {r['B_ms_per_mvox']:>10} "
+              f"{r['B_ms'] / r['A_ms']:>6.2f}", file=sys.stderr)
+
+    line = json.dumps({str(b): {k: v for k, v in results[b].items()
+                                if not k.endswith("_draws")}
+                       for b in targets})
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
