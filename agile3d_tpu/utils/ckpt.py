@@ -53,20 +53,42 @@ def save_checkpoint(path, params, buffers, bn_state, opt_state=None,
 def load_checkpoint(path, template: dict):
     """Restore against a template bundle (same structure as saved).
 
-    Restored arrays are placed back on the template leaf's devices:
-    orbax hands back host (CPU-committed) arrays, and a jit called with
-    committed-CPU inputs lowers for the CPU platform — on the TPU host
-    that made --resume crash in the Mosaic kernels ('Only interpret mode
-    is supported on CPU backend', observed in the round-4 regime run)."""
+    Placement: orbax hands back COMMITTED host arrays, and a jit called
+    with committed-CPU inputs lowers for the CPU platform — on the TPU
+    host that crashes the Mosaic kernels ('Only interpret mode is
+    supported on CPU backend', observed in the round-4 regime resume).
+    Two template cases:
+
+      * template leaf on the DEFAULT backend (e.g. dp-mesh training state,
+        or any CPU-backend test): device_put onto its sharding — restore
+        lands exactly where the template lives
+        (tests/test_ckpt.py::test_orbax_restore_lands_on_template_device);
+      * template leaf on a NON-default platform — the normal single-chip
+        resume: init_agile3d keeps the fresh-init template host-resident
+        on purpose (fast init + fast first save, models/agile3d.py:88-94),
+        so "the template's device" is the WRONG target. Return plain
+        numpy instead: uncommitted host arrays behave exactly like fresh
+        init (transferred to the accelerator on first use, no platform
+        poisoning). Round-5 regime resume hit this: the round-4 fix
+        restored onto the CPU-resident template's sharding, committing
+        the whole state to CPU and crashing the first rollout backbone.
+    """
     import jax
+    import numpy as np_
     import orbax.checkpoint as ocp
+
+    default_platform = jax.default_backend()
+
+    def _place(r, t):
+        if hasattr(t, "sharding"):
+            t_platform = next(iter(t.sharding.device_set)).platform
+            if t_platform == default_platform:
+                return jax.device_put(r, t.sharding)
+        return np_.asarray(r) if hasattr(r, "devices") else r
 
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(path, template)
-    return jax.tree_util.tree_map(
-        lambda r, t: (jax.device_put(r, t.sharding)
-                      if hasattr(t, "sharding") else r),
-        restored, template)
+    return jax.tree_util.tree_map(_place, restored, template)
 
 
 def load_model_weights(path: str, cfg: ModelConfig = ModelConfig(),
