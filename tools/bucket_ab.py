@@ -31,6 +31,10 @@ def main():
                     help="valid-voxel fraction of each bucket")
     ap.add_argument("--n1", type=int, default=4)
     ap.add_argument("--n2", type=int, default=32)
+    ap.add_argument("--dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="backbone compute dtype (bfloat16 = the roofline "
+                         "lever (b): halves stream + granule bytes)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     targets = [int(b) for b in args.buckets.split(",")]
@@ -85,6 +89,8 @@ def main():
         prepared[b] = (pyr, x, len(take))
         print(f"bucket {b}: {len(take)} valid voxels", file=sys.stderr)
 
+    compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
+
     def time_bucket(b, tag):
         pyr, x, _ = prepared[b]
 
@@ -95,7 +101,8 @@ def main():
             def loop(params, state, x, n):
                 def body(_, f):
                     fm, _ = backbone_forward(params, state, pyr, f,
-                                             training=False, cfg=bcfg)
+                                             training=False, cfg=bcfg,
+                                             compute_dtype=compute_dtype)
                     s = jnp.sum(fm[-1].astype(jnp.float32))
                     return x * (1.0 + s * eps)
 
