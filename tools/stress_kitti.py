@@ -283,6 +283,42 @@ def main():
               f"(mask_feat+pos+raw over N/{args.sp}); chunked c2s/s2c "
               f"logits never materialize (parallel/sp.py)", flush=True)
 
+        # --- SP x scan vs SP x host loop: the dispatch overhead the
+        # composed rollout saves (VERDICT r4 task 1 done-criterion).
+        # Same scene, same click budget, warmed compiles for both paths:
+        # the host loop pays one dispatch per round; the composed scan
+        # (parallel/sp_rollout.py) runs every round in ONE dispatch.
+        import random as _random
+
+        from agile3d_tpu.engine.device_eval import evaluate_scene_device
+        from agile3d_tpu.engine.eval import evaluate_scene
+
+        if not args.skip_backbone:
+            sp_engine = InteractiveEngine(cfg, sp=args.sp)
+            mc_budget = 2           # budget = num_obj*2 -> ~11 rounds
+            for fn, tag2 in ((evaluate_scene_device, "scan"),
+                             (evaluate_scene, "host-loop")):
+                fn(sp_engine, params, buffers, bn_state, batch,
+                   mode="multi", instance_id=0, rng=_random.Random(0),
+                   max_num_clicks=mc_budget)   # warm compiles
+                t0 = time.time()
+                rows2 = fn(sp_engine, params, buffers, bn_state, batch,
+                           mode="multi", instance_id=0,
+                           rng=_random.Random(0),
+                           max_num_clicks=mc_budget)
+                wall = time.time() - t0
+                n_rounds2 = len(rows2) - 1
+                print(f"  sp={args.sp} rollout [{tag2}]: {n_rounds2} rounds "
+                      f"in {wall:.2f}s ({wall / n_rounds2 * 1e3:.0f} "
+                      f"ms/round incl. backbone amortized)", flush=True)
+                if tag2 == "scan":
+                    wall_scan, rounds_scan = wall, n_rounds2
+            saved = (wall - wall_scan) / max(rounds_scan, 1) * 1e3
+            print(f"  per-round dispatch overhead saved by the composed "
+                  f"scan: ~{saved:.0f} ms/round at sp={args.sp} "
+                  f"({wall:.2f}s host loop -> {wall_scan:.2f}s scan)",
+                  flush=True)
+
     if mem.get("peak_bytes_in_use"):
         hbm_total = mem.get("bytes_limit", 16 * 2**30)
         print(f"single-chip ceiling: peak "
