@@ -308,9 +308,20 @@ def main():
                            max_num_clicks=mc_budget)
                 wall = time.time() - t0
                 n_rounds2 = len(rows2) - 1
+                extra = ""
+                if tag2 == "scan":
+                    from agile3d_tpu.engine.device_eval import _ROUND_BUCKETS
+                    from agile3d_tpu.config import bucket_size
+
+                    rp = bucket_size(n_rounds2, _ROUND_BUCKETS)
+                    extra = (f"; fixed trip count {rp} rounds — on hosts "
+                             f"with ~zero dispatch cost (CPU mesh) the "
+                             f"padding makes the scan SLOWER, the win is "
+                             f"tunnel/dispatch-bound hardware")
                 print(f"  sp={args.sp} rollout [{tag2}]: {n_rounds2} rounds "
                       f"in {wall:.2f}s ({wall / n_rounds2 * 1e3:.0f} "
-                      f"ms/round incl. backbone amortized)", flush=True)
+                      f"ms/round incl. backbone amortized{extra})",
+                      flush=True)
                 if tag2 == "scan":
                     wall_scan, rounds_scan = wall, n_rounds2
             saved = (wall - wall_scan) / max(rounds_scan, 1) * 1e3
