@@ -18,10 +18,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time  # noqa: F401  (kept for parity with bench timing imports)
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -35,6 +38,13 @@ def main():
                     choices=("float32", "bfloat16"),
                     help="backbone compute dtype (bfloat16 = the roofline "
                          "lever (b): halves stream + granule bytes)")
+    ap.add_argument("--mode", default="subsample",
+                    choices=("subsample", "crop"),
+                    help="subsample: random voxel subsets of the master "
+                         "(fixed extent, density shrinks with the bucket); "
+                         "crop: spatial sub-boxes (fixed density, extent "
+                         "grows with the bucket — the clean control for "
+                         "'is per-voxel cost flat in N')")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     targets = [int(b) for b in args.buckets.split(",")]
@@ -81,7 +91,17 @@ def main():
     prepared = {}
     order = rng.permutation(len(vox))
     for b in targets:
-        take = np.sort(order[: int(b * args.fill)])
+        want = int(b * args.fill)
+        if args.mode == "crop":
+            # smallest axis-0 prefix slab holding `want` voxels: a spatial
+            # crop, so local density (and kernel-map occupancy per voxel)
+            # matches the master everywhere in the sweep
+            xs = np.sort(vox[:, 0])
+            cut = xs[min(want, len(xs)) - 1]
+            inside = np.where(vox[:, 0] <= cut)[0]
+            take = np.sort(rng.permutation(inside)[:want])
+        else:
+            take = np.sort(order[:want])
         pyr = pad_pyramid(build_pyramid(vox[take]), buckets=cfg.buckets)
         n0 = pyr.levels[0].grid.shape[0]
         assert n0 == b, (n0, b)
