@@ -117,8 +117,12 @@ def main():
         def make_loop(draw):
             eps = 1e-38 + draw * 1e-40
 
+            # pyr rides as a jit ARGUMENT: closure-captured kernel maps
+            # serialize into the lowered MLIR as literal constants and the
+            # axon compile relay rejects the program with HTTP 413
+            # (same constraint as bench_train.py's train loop)
             @jax.jit
-            def loop(params, state, x, n):
+            def loop(params, state, pyr, x, n):
                 def body(_, f):
                     fm, _ = backbone_forward(params, state, pyr, f,
                                              training=False, cfg=bcfg,
@@ -128,7 +132,7 @@ def main():
 
                 return jnp.sum(jax.lax.fori_loop(0, n, body, x)) * eps
 
-            return loop, (params, state, x)
+            return loop, (params, state, pyr, x)
 
         stats = {}
         ms = min_over_draws(make_loop, f"{tag}/bucket{b}", args.n1, args.n2,
