@@ -134,9 +134,27 @@ def main():
 
             return loop, (params, state, pyr, x)
 
+        # Probe per-iteration cost with the draw-0 program (n is a traced
+        # argument, so n=1/n=2 reuse one compile), then cap the dispatch
+        # length: this environment's relay kills any single dispatch
+        # running past ~70-80 s (measured: 28 iter x 2.3 s = 65.6 s ok,
+        # 30 iter crashed the TPU worker at 88 s), so n2 targets <= ~40 s.
+        loop0, a0 = make_loop(0)
+        import time as _t
+
+        t0 = _t.time()
+        jax.block_until_ready(loop0(*a0, jnp.asarray(1, jnp.int32)))
+        w1 = _t.time() - t0
+        t0 = _t.time()
+        jax.block_until_ready(loop0(*a0, jnp.asarray(2, jnp.int32)))
+        est_ms = max((_t.time() - t0 - w1) * 1e3, 1.0)  # T ~ w2 - w1
+        n2 = int(max(8, min(args.n2, 40_000 / est_ms)))
+        n1 = max(2, n2 // 8)
+        print(f"{tag}/bucket{b}: est {est_ms:.0f} ms/iter -> lengths "
+              f"({n1}, {n2})", file=sys.stderr, flush=True)
+
         stats = {}
-        ms = min_over_draws(make_loop, f"{tag}/bucket{b}", args.n1, args.n2,
-                            stats)
+        ms = min_over_draws(make_loop, f"{tag}/bucket{b}", n1, n2, stats)
         return ms, stats
 
     results = {b: {"valid": prepared[b][2]} for b in targets}
