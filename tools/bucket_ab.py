@@ -142,12 +142,14 @@ def main():
         loop0, a0 = make_loop(0)
         import time as _t
 
+        jax.block_until_ready(loop0(*a0, jnp.asarray(1, jnp.int32)))  # compile
         t0 = _t.time()
         jax.block_until_ready(loop0(*a0, jnp.asarray(1, jnp.int32)))
         w1 = _t.time() - t0
         t0 = _t.time()
-        jax.block_until_ready(loop0(*a0, jnp.asarray(2, jnp.int32)))
-        est_ms = max((_t.time() - t0 - w1) * 1e3, 1.0)  # T ~ w2 - w1
+        jax.block_until_ready(loop0(*a0, jnp.asarray(3, jnp.int32)))
+        w3 = _t.time() - t0
+        est_ms = max((w3 - w1) / 2 * 1e3, 1.0)  # T ~ (w3 - w1) / 2
         n2 = int(max(8, min(args.n2, 40_000 / est_ms)))
         n1 = max(2, n2 // 8)
         print(f"{tag}/bucket{b}: est {est_ms:.0f} ms/iter -> lengths "
