@@ -139,15 +139,20 @@ def main():
         # length: this environment's relay kills any single dispatch
         # running past ~70-80 s (measured: 28 iter x 2.3 s = 65.6 s ok,
         # 30 iter crashed the TPU worker at 88 s), so n2 targets <= ~40 s.
+        # fence by VALUE fetch, not block_until_ready: through the axon
+        # relay block_until_ready returns before device completion
+        # (measured: n=8 "completing" in 150 ms where the fenced harness
+        # sees 4.3 s); pulling the scalar to host is the only real fence
+        # (same discipline as bench.fence)
         loop0, a0 = make_loop(0)
         import time as _t
 
-        jax.block_until_ready(loop0(*a0, jnp.asarray(1, jnp.int32)))  # compile
+        float(loop0(*a0, jnp.asarray(1, jnp.int32)))  # compile + warm
         t0 = _t.time()
-        jax.block_until_ready(loop0(*a0, jnp.asarray(1, jnp.int32)))
+        float(loop0(*a0, jnp.asarray(1, jnp.int32)))
         w1 = _t.time() - t0
         t0 = _t.time()
-        jax.block_until_ready(loop0(*a0, jnp.asarray(3, jnp.int32)))
+        float(loop0(*a0, jnp.asarray(3, jnp.int32)))
         w3 = _t.time() - t0
         est_ms = max((w3 - w1) / 2 * 1e3, 1.0)  # T ~ (w3 - w1) / 2
         n2 = int(max(8, min(args.n2, 40_000 / est_ms)))
