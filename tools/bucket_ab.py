@@ -111,6 +111,9 @@ def main():
 
     compute_dtype = jnp.bfloat16 if args.dtype == "bfloat16" else None
 
+    known_T = {}        # per-bucket T from an earlier pass
+    last_T_ms = [1.0]   # largest T seen so far in THIS pass (ascending)
+
     def time_bucket(b, tag):
         pyr, x, _ = prepared[b]
 
@@ -155,17 +158,26 @@ def main():
         float(loop0(*a0, jnp.asarray(3, jnp.int32)))
         w3 = _t.time() - t0
         est_ms = max((w3 - w1) / 2 * 1e3, 1.0)  # T ~ (w3 - w1) / 2
-        n2 = int(max(8, min(args.n2, 40_000 / est_ms)))
+        # the relay probe is occasionally flaky (queue coalescing makes
+        # w3 ~ w1); floor the estimate with 1.6x the previous (smaller)
+        # bucket's measured T so a bad probe can never pick a dispatch
+        # length that trips the ~70-80 s relay watchdog
+        est_eff = max(est_ms, 1.6 * last_T_ms[0], known_T.get(b, 0.0))
+        n2 = int(max(8, min(args.n2, 40_000 / est_eff)))
         n1 = max(2, n2 // 8)
-        print(f"{tag}/bucket{b}: est {est_ms:.0f} ms/iter -> lengths "
-              f"({n1}, {n2})", file=sys.stderr, flush=True)
+        print(f"{tag}/bucket{b}: est {est_ms:.0f} ms/iter (eff "
+              f"{est_eff:.0f}) -> lengths ({n1}, {n2})",
+              file=sys.stderr, flush=True)
 
         stats = {}
         ms = min_over_draws(make_loop, f"{tag}/bucket{b}", n1, n2, stats)
+        last_T_ms[0] = max(last_T_ms[0], ms)
+        known_T[b] = ms
         return ms, stats
 
     results = {b: {"valid": prepared[b][2]} for b in targets}
     for tag in ("A", "B"):
+        last_T_ms[0] = 1.0
         for b in targets:
             ms, stats = time_bucket(b, tag)
             results[b][f"{tag}_ms"] = round(ms, 2)
