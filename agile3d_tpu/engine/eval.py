@@ -149,7 +149,7 @@ class InteractiveEngine:
         self._dev_cache_key = None
         self._dev_cache = None
 
-    def device_batch(self, batch: SceneBatch):
+    def device_batch(self, batch: SceneBatch, *, will_train: bool = False):
         """Device-resident (pyramid, feats, raw, sample_idx) for a batch,
         cached so the ~100 MB of kernel maps upload once per batch, not once
         per model call.
@@ -159,13 +159,21 @@ class InteractiveEngine:
         padded k5 map is dropped from the transfer — exception strips carry
         their own cell rows (stem_banded_prep), so the only consumer of k5
         on device is the strips/scan fallback the banded path replaces.
-        At the 1M-voxel bucket that is ~500 MB of HBM + upload saved."""
+        At the 1M-voxel bucket that is ~500 MB of HBM + upload saved.
+
+        ``will_train``: the SAME device pyramid feeds both the eval-mode
+        rollout forward and the training-mode supervised forward inside a
+        train step, and the banded stem is eval-only — a training consumer
+        still needs k5 whenever the training route would fall back to
+        strips/scan (caught by bench_train at ScanNet-scale batches: the
+        eval-keyed drop crashed the supervised forward with k5=None)."""
         if self._dev_cache_key is not batch:
             from agile3d_tpu.models.backbone import stem_banded_active
 
             pyr = batch.pyramid
-            if stem_banded_active(self.cfg.model.backbone, pyr.levels[0],
-                                  training=False):
+            if (stem_banded_active(self.cfg.model.backbone, pyr.levels[0],
+                                   training=False)
+                    and not will_train):
                 pyr = pyr._replace(levels=(
                     pyr.levels[0]._replace(k5=None),) + pyr.levels[1:])
             self._dev_cache = jax.device_put(
@@ -179,7 +187,8 @@ class InteractiveEngine:
         if self.sp_backbone and not training:
             return self._run_backbone_sp(params, buffers, bn_state, batch)
         check_single_chip_rows(batch.pyramid.levels[0].grid.shape[0])
-        pyr, feats, raw, sample_idx = self.device_batch(batch)
+        pyr, feats, raw, sample_idx = self.device_batch(
+            batch, will_train=training)
         return self._backbone(params, buffers, bn_state, pyr, feats, raw,
                               sample_idx, training=training)
 

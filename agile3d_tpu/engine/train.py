@@ -266,7 +266,8 @@ def train_one_epoch(engine, params, buffers, bn_state, opt_state, train_step,
                 vox=jnp.asarray(np.stack([c.vox[:mc] for c in clicks])),
                 obj=jnp.asarray(np.stack([c.obj[:mc] for c in clicks])),
                 time=jnp.asarray(np.stack([c.time[:mc] for c in clicks])))
-        pyr_dev, feats_dev, raw_dev, si_dev = engine.device_batch(batch)
+        pyr_dev, feats_dev, raw_dev, si_dev = engine.device_batch(
+            batch, will_train=True)
         drng = (jax.random.PRNGKey(int(np_rng.integers(2 ** 31)))
                 if cfg.model.dropout > 0 else None)
         params, bn_state, opt_state, tot, losses, gnorm, miou = train_step(

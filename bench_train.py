@@ -56,7 +56,7 @@ def main(batch_size=5, n_points=150000, out_path=None):
     opt_state = tx.init(params)
     train_step = make_train_step(cfg, tx)
     engine = InteractiveEngine(cfg)
-    pyr, feats, raw, si = engine.device_batch(batch)
+    pyr, feats, raw, si = engine.device_batch(batch, will_train=True)
 
     mc = 64
     vox_c = np.full((batch_size, mc), -1, np.int32)
@@ -155,7 +155,8 @@ def main(batch_size=5, n_points=150000, out_path=None):
         nonlocal p, bs, os_
         t0 = time.time()
         for b in BatchPrefetcher(prepare, range(K), depth=depth):
-            pyr_b, feats_b, raw_b, si_b = engine.device_batch(b)
+            pyr_b, feats_b, raw_b, si_b = engine.device_batch(
+                b, will_train=True)
             p, bs, os_, tot, *_ = train_step(
                 p, buffers, bs, os_, pyr_b, feats_b, raw_b, si_b, clicks,
                 jnp.asarray(b.labels), jnp.asarray(b.num_obj))

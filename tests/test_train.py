@@ -107,3 +107,36 @@ def test_prefetch_depth_does_not_change_trajectory(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(p_sync),
                     jax.tree_util.tree_leaves(p_pre)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_device_batch_keeps_k5_for_training_consumers(monkeypatch):
+    """The k5-transfer drop is keyed on the EVAL stem routing, but the same
+    device pyramid feeds the training-mode supervised forward, where the
+    banded stem (eval-only) cannot serve and the strips/scan route needs
+    k5. Regression for the bench_train crash at ScanNet-scale batches:
+    AttributeError 'NoneType' has no 'shape' in sparse_conv_strips."""
+    from agile3d_tpu.config import Config
+    from agile3d_tpu.data.datasets import SceneSample, collate_scenes
+    from agile3d_tpu.sparse.quantize import sparse_quantize
+    from tests.synthetic import make_scene
+
+    cfg = Config(buckets=(1024, 2048, 4096))
+    rng = np.random.default_rng(0)
+    coords, colors, labels = make_scene(rng, n_points=1200, num_obj=2)
+    vox, umap, imap = sparse_quantize(coords, cfg.model.voxel_size)
+    s = SceneSample(vox_coords=vox, raw_coords=coords[umap],
+                    feats=colors[umap].astype(np.float32) / 255.0,
+                    labels=labels[umap].astype(np.int32),
+                    labels_full=labels.astype(np.int32), inverse_map=imap,
+                    click_idx={}, scene_name="t", num_obj=2)
+    batch = collate_scenes([s], cfg.buckets)
+
+    monkeypatch.setattr("agile3d_tpu.models.backbone.stem_banded_active",
+                        lambda *a, **k: True)
+    eng = InteractiveEngine(cfg)
+    pyr, *_ = eng.device_batch(batch)
+    assert pyr.levels[0].k5 is None      # eval consumer: drop saves HBM
+
+    eng2 = InteractiveEngine(cfg)
+    pyr2, *_ = eng2.device_batch(batch, will_train=True)
+    assert pyr2.levels[0].k5 is not None  # training consumer keeps it
