@@ -259,6 +259,14 @@ def main():
     cfg_bf16 = dataclasses.replace(cfg.model, decoder_dtype="bfloat16")
     fm16_stats = {}
 
+    # Pre-cast once, as production does: forward_backbone casts the scene
+    # per SCENE (models/agile3d.py "cast ONCE per scene"), so the timed
+    # loop must not re-pay the N-scale f32->bf16 converts per click.
+    # forward_mask's internal cast no-ops on already-bf16 leaves.
+    from agile3d_tpu.models.agile3d import cast_decoder_bf16
+
+    params16, buffers16, scene16 = cast_decoder_bf16(params, buffers, scene)
+
     def make_mask_loop_bf16(draw):
         eps = 1e-38 + (draw + 48 * SALT) * 1e-40
 
@@ -269,11 +277,14 @@ def main():
                 out = forward_mask(params, buffers, sc, cs, num_obj,
                                    cfg=cfg_bf16)
                 pred = jnp.argmax(out["pred_masks"], -1)
-                return feat + pred[..., :1].astype(jnp.float32) * eps
+                # bf16 shares f32's exponent range, so eps stays
+                # representable: numerically ~no-op, structurally a carry
+                # dependency that keeps every round live
+                return feat + pred[..., :1].astype(feat.dtype) * eps
 
             return jax.lax.fori_loop(0, n, body, scene.mask_feat)
 
-        return loop, (params, buffers, scene, cs_b, num_obj_dev)
+        return loop, (params16, buffers16, scene16, cs_b, num_obj_dev)
 
     p50_bf16 = min_over_draws(make_mask_loop_bf16, "forward_mask_bf16",
                               20, 160, fm16_stats)
